@@ -1,0 +1,91 @@
+"""Body-orientation layer: evaluate legs under a rotated body.
+
+Semantics of reference one_leg_global.cu:48-130: given a body orientation
+quaternion,
+
+1. the leg's *absolute* tibia limits (which are defined against the world
+   horizon — "tibia always points down") shift by the body pitch expressed
+   in that leg's azimuth frame (``rotate_leg_data``);
+2. the query point is un-rotated into the body frame and yawed by
+   ``-body_angle`` so every leg evaluates "as if leg 0";
+3. distance displacement vectors are rotated back to the world frame.
+
+Everything is batched: orientations can be an ``[O, 4]`` axis, and per-leg
+workspaces are rebuilt per orientation (cheap O(1) work vs the point axis).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from legmov_tpu.models.leg import LegDimensions
+from legmov_tpu.models.workspace import build_workspace
+from legmov_tpu.ops import quaternion as quat
+from legmov_tpu.ops.distance import distance_ws
+from legmov_tpu.ops.reachability import reachability_ws
+
+_f32 = jnp.float32
+
+
+def rotate_leg_data(q: jnp.ndarray, leg: LegDimensions) -> LegDimensions:
+    """Shift the absolute-tibia limits by the body pitch in the leg frame.
+
+    Semantics of reference one_leg_global.cu:48-60.
+    """
+    pitch = quat.pitch_in_frame(q, leg.body_angle)
+    return leg.replace(
+        tibia_absolute_pos=leg.tibia_absolute_pos - pitch,
+        tibia_absolute_neg=leg.tibia_absolute_neg - pitch,
+    )
+
+
+def _as_leg0(points: jnp.ndarray, q: jnp.ndarray, body_angle):
+    """Un-rotate by the body quaternion, then yaw by -body_angle."""
+    p = quat.inv_rotate(q, points)
+    c = jnp.cos(-body_angle)
+    s = jnp.sin(-body_angle)
+    x = p[..., 0] * c - p[..., 1] * s
+    y = p[..., 0] * s + p[..., 1] * c
+    return jnp.stack([x, y, p[..., 2]], axis=-1), (c, s)
+
+
+def _undo_leg0(vec: jnp.ndarray, cs, q: jnp.ndarray):
+    c, s = cs
+    x = vec[..., 0] * c + vec[..., 1] * s
+    y = -vec[..., 0] * s + vec[..., 1] * c
+    v = jnp.stack([x, y, vec[..., 2]], axis=-1)
+    return quat.rotate(q, v)
+
+
+def reachability_oriented(
+    points: jnp.ndarray, leg: LegDimensions, q: jnp.ndarray
+) -> jnp.ndarray:
+    """Reachability under body orientation ``q`` (one_leg_global.cu:103-130)."""
+    oriented = rotate_leg_data(q, leg)
+    ws = build_workspace(oriented)
+    p0, _ = _as_leg0(points, q, oriented.body_angle)
+    return reachability_ws(p0, ws)
+
+
+def distance_oriented(points: jnp.ndarray, leg: LegDimensions, q: jnp.ndarray):
+    """Distance under body orientation ``q`` (one_leg_global.cu:74-101).
+
+    Returns ``(reachable, displacement)`` with the displacement re-expressed
+    in the world frame.
+    """
+    oriented = rotate_leg_data(q, leg)
+    ws = build_workspace(oriented)
+    p0, cs = _as_leg0(points, q, oriented.body_angle)
+    ok, vec = distance_ws(p0, ws)
+    return ok, _undo_leg0(vec, cs, q)
+
+
+@jax.jit
+def reachability_oriented_batch(points, leg, q):
+    return reachability_oriented(points, leg, q)
+
+
+@jax.jit
+def distance_oriented_batch(points, leg, q):
+    return distance_oriented(points, leg, q)

@@ -1,0 +1,99 @@
+"""Reachability: JAX path vs the strict-fp32 NumPy oracle + analytic checks."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from legmov_tpu import get_moonbot_leg, get_m2_leg, reachability_batch
+from legmov_tpu.oracle import oracle_reachability
+
+f32 = np.float32
+
+LEGS = {"moonbot": get_moonbot_leg, "m2": get_m2_leg}
+
+
+def _random_points(rng, n):
+    """Points spanning the workspace shell and beyond (mm)."""
+    return np.stack(
+        [
+            rng.uniform(-700, 700, n),
+            rng.uniform(-700, 700, n),
+            rng.uniform(-700, 700, n),
+        ],
+        axis=-1,
+    ).astype(f32)
+
+
+@pytest.mark.parametrize("name", list(LEGS))
+def test_matches_oracle_bitexact(rng, name):
+    leg = LEGS[name]()
+    pts = _random_points(rng, 2048)
+    got = np.asarray(reachability_batch(jnp.asarray(pts), leg))
+    want = oracle_reachability(pts, leg)
+    mism = np.flatnonzero(got != want)
+    assert mism.size == 0, f"{mism.size} mismatches, first at {pts[mism[:5]]}"
+    # sanity: the sample actually covers both classes
+    assert want.any() and (~want).any()
+
+
+@pytest.mark.parametrize("name", list(LEGS))
+def test_near_workspace_dense(rng, name):
+    """Dense band around the leg where most of the boundary structure lives."""
+    leg = LEGS[name]()
+    pts = np.stack(
+        [
+            rng.uniform(0, 550, 2048),
+            rng.uniform(-350, 350, 2048),
+            rng.uniform(-400, 200, 2048),
+        ],
+        axis=-1,
+    ).astype(f32)
+    got = np.asarray(reachability_batch(jnp.asarray(pts), leg))
+    want = oracle_reachability(pts, leg)
+    np.testing.assert_array_equal(got, want)
+    assert want.any() and (~want).any()
+
+
+def test_far_points_unreachable():
+    leg = get_moonbot_leg()
+    reach_max = float(leg.body + leg.coxa_length + leg.femur_length + leg.tibia_length)
+    pts = np.array(
+        [
+            [reach_max + 10.0, 0, 0],
+            [0, reach_max + 10.0, 0],
+            [0, 0, -(reach_max + 10.0)],
+            [1e4, 1e4, 1e4],
+        ],
+        f32,
+    )
+    out = np.asarray(reachability_batch(jnp.asarray(pts), leg))
+    assert not out.any()
+
+
+def test_coxa_yaw_limit():
+    """Points behind the +-60deg coxa cone are unreachable."""
+    leg = get_moonbot_leg()
+    r = 250.0
+    ang_ok = np.deg2rad(50.0)
+    ang_bad = np.deg2rad(70.0)
+    body = float(leg.body)
+    pts = np.array(
+        [
+            [body + r * np.cos(ang_ok), r * np.sin(ang_ok), -120.0],
+            [body + r * np.cos(ang_bad), r * np.sin(ang_bad), -120.0],
+        ],
+        f32,
+    )
+    out = np.asarray(reachability_batch(jnp.asarray(pts), leg))
+    assert bool(out[0])
+    assert not bool(out[1])
+
+
+def test_tibia_absolute_limit_blocks_horizontal():
+    """Moonbot tibia must point down (abs in [-175, -5] deg): a straight
+    horizontal pose (abs angle 0) is out of the workspace even though all
+    joint limits alone would allow it."""
+    leg = get_moonbot_leg()
+    x = float(leg.body + leg.coxa_length + leg.femur_length + leg.tibia_length) - 0.5
+    out = np.asarray(reachability_batch(jnp.asarray([[x, 0.0, 0.0]], dtype=jnp.float32), leg))
+    assert not bool(out[0])
