@@ -1,0 +1,124 @@
+"""Device-mesh sharding of the movability solvers.
+
+Layout (SURVEY.md section 7.2 step 6, BASELINE.json north star):
+
+* **points / poses axis -> data parallel** over mesh axis ``"poses"``: the
+  per-point evaluators are embarrassingly parallel, so point batches and
+  body-pose batches shard across chips with no communication at all.
+* **foothold axis -> optional second mesh axis** ``"points"``: each chip
+  reduces reachability over its local foothold shard, then the global
+  "any foothold reachable" is finished with a ``psum`` over ICI — the
+  TPU-native replacement for the reference's warp-vote + ``__shared__``
+  flag OR-reduction (several_leg.cu:92-129).
+
+Everything goes through ``jax.shard_map`` so the collective placement is
+explicit; single-device meshes degenerate to plain jit.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from legmov_tpu.models.leg import LegDimensions
+from legmov_tpu.ops.distance import distance
+from legmov_tpu.ops.positionability import reachable_legs
+from legmov_tpu.ops.quaternion import IDENTITY
+from legmov_tpu.ops.reachability import reachability
+
+
+def make_mesh(
+    n_devices: int | None = None, points_axis: int = 1, devices=None
+) -> Mesh:
+    """Build a ``(poses, points)`` mesh over the first ``n_devices`` devices.
+
+    ``points_axis`` chips are dedicated to splitting the foothold axis; the
+    rest data-parallelize poses/points.  Defaults to a pure data-parallel
+    ``(n, 1)`` mesh.
+    """
+    devs = list(devices if devices is not None else jax.devices())
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    n = len(devs)
+    if n % points_axis != 0:
+        raise ValueError(f"{n} devices not divisible by points_axis={points_axis}")
+    arr = np.array(devs).reshape(n // points_axis, points_axis)
+    return Mesh(arr, axis_names=("poses", "points"))
+
+
+def _flat_mesh_size(mesh: Mesh) -> int:
+    return int(np.prod(list(mesh.shape.values())))
+
+
+def sharded_reachability(mesh: Mesh):
+    """Jitted ``(points [N,3], leg) -> [N] bool`` sharding N over all chips.
+
+    The point axis is split over *both* mesh axes (it is one flat batch
+    axis); no collectives are needed.
+    """
+
+    @jax.jit
+    def fn(points: jnp.ndarray, leg: LegDimensions) -> jnp.ndarray:
+        return jax.shard_map(
+            lambda p, l: reachability(p, l),
+            mesh=mesh,
+            in_specs=(P(("poses", "points")), P()),
+            out_specs=P(("poses", "points")),
+        )(points, leg)
+
+    return fn
+
+
+def sharded_distance(mesh: Mesh):
+    """Jitted ``(points [N,3], leg) -> ([N] bool, [N,3])`` over all chips."""
+
+    @jax.jit
+    def fn(points: jnp.ndarray, leg: LegDimensions):
+        return jax.shard_map(
+            lambda p, l: distance(p, l),
+            mesh=mesh,
+            in_specs=(P(("poses", "points")), P()),
+            out_specs=(P(("poses", "points")), P(("poses", "points"))),
+        )(points, leg)
+
+    return fn
+
+
+def sharded_positionable(mesh: Mesh, k: int | None = None):
+    """Jitted pose-feasibility sweep sharded over the mesh.
+
+    ``(body_pos [P,3], body_quat [P,4], footholds [F,3], robot) -> [P] bool``
+    with poses sharded over the ``"poses"`` axis and footholds over the
+    ``"points"`` axis.  Each chip computes per-(pose, leg) "any local
+    foothold reachable"; the cross-chip OR is a ``psum`` over ``"points"``
+    (ICI collective), then legs are counted against the quorum ``k``.
+    """
+
+    def local(body_pos, body_quat, footholds, robot):
+        legs_ok = reachable_legs(body_pos, body_quat, footholds, robot)
+        # OR across foothold shards: sum of bools > 0
+        total = jax.lax.psum(legs_ok.astype(jnp.int32), axis_name="points")
+        counts = jnp.sum(total > 0, axis=-1).astype(jnp.int32)
+        quorum = jnp.int32(
+            k if k is not None else jax.tree.leaves(robot)[0].shape[0]
+        )
+        return counts >= quorum
+
+    @jax.jit
+    def fn(body_pos, body_quat, footholds, robot):
+        if body_quat is None:
+            body_quat = jnp.broadcast_to(
+                jnp.asarray(IDENTITY), (body_pos.shape[0], 4)
+            )
+        return jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P("poses"), P("poses"), P("points"), P()),
+            out_specs=P("poses"),
+        )(body_pos, body_quat, footholds, robot)
+
+    return fn

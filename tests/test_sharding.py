@@ -1,0 +1,70 @@
+"""Multi-device sharding tests on the 8-way virtual CPU mesh.
+
+Validates that the sharded solvers (legmov_tpu.parallel) produce results
+identical to the single-device path — the communication layout (pose axis
+data-parallel, foothold axis split + psum OR-reduction) must be a pure
+refactoring of the math.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from legmov_tpu import get_m2_leg
+from legmov_tpu.models.robot import get_m2_robot
+from legmov_tpu.ops import quaternion as quat
+from legmov_tpu.ops.distance import distance_batch
+from legmov_tpu.ops.positionability import positionable
+from legmov_tpu.ops.reachability import reachability_batch
+from legmov_tpu.parallel import (
+    make_mesh,
+    sharded_distance,
+    sharded_positionable,
+    sharded_reachability,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(8, points_axis=2)
+
+
+def test_mesh_shape(mesh):
+    assert dict(mesh.shape) == {"poses": 4, "points": 2}
+
+
+def test_sharded_reachability_matches(mesh, rng=np.random.default_rng(7)):
+    leg = get_m2_leg()
+    pts = jnp.asarray(rng.uniform(-400, 400, (1024, 3)).astype(np.float32))
+    got = sharded_reachability(mesh)(pts, leg)
+    want = reachability_batch(pts, leg)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_sharded_distance_matches(mesh, rng=np.random.default_rng(8)):
+    leg = get_m2_leg()
+    pts = jnp.asarray(rng.uniform(-400, 400, (1024, 3)).astype(np.float32))
+    ok_g, vec_g = sharded_distance(mesh)(pts, leg)
+    ok_w, vec_w = distance_batch(pts, leg)
+    np.testing.assert_array_equal(np.asarray(ok_g), np.asarray(ok_w))
+    np.testing.assert_allclose(
+        np.asarray(vec_g), np.asarray(vec_w), rtol=0, atol=0
+    )
+
+
+def test_sharded_positionable_matches(mesh, rng=np.random.default_rng(9)):
+    robot = get_m2_robot()
+    P, F = 16, 128  # divisible by the mesh axes
+    body_pos = jnp.asarray(rng.uniform(-150, 150, (P, 3)).astype(np.float32))
+    rpy = rng.uniform(-0.3, 0.3, (P, 3)).astype(np.float32)
+    body_quat = quat.from_rpy(rpy[:, 0], rpy[:, 1], rpy[:, 2])
+    footholds = jnp.asarray(rng.uniform(-450, 450, (F, 3)).astype(np.float32))
+
+    got = sharded_positionable(mesh, k=3)(body_pos, body_quat, footholds, robot)
+    want = positionable(body_pos, body_quat, footholds, robot, k=3)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
