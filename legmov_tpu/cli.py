@@ -1,0 +1,200 @@
+"""Command-line pipeline: prepare -> evaluate -> report -> solve.
+
+The TPU-native equivalent of the reference's ``LAUNCH.bash`` workflow
+(before.py -> ./cuda -> after.py) and of the ``cuda`` binary's ``main()``
+(several_leg.cpp:17-224), as one CLI:
+
+* ``prepare``  — generate terrain + body-candidate voxel grid + query grid,
+  write the reference's ``.bin`` SoA files (before.py semantics);
+* ``evaluate`` — read the query grid, run reachability + distance on the
+  accelerator, write ``out_reachability.bin`` / ``out_dist_x{x,y,z}.bin``
+  and print ms / ns-per-point like several_leg.cpp:151-155;
+* ``report``   — render the reachability / distance images and the
+  reachable-volume estimate (after.py semantics);
+* ``solve``    — hierarchical body-pose positionability over the terrain
+  (the several_leg_octree path), writing valid cell centers.
+
+Run as ``python -m legmov_tpu.cli <command> [options]``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+from legmov_tpu import io as lio
+
+LEGS = ("moonbot", "m2")
+
+
+def _get_leg(name: str, azimuth: float = 0.0):
+    from legmov_tpu.models.leg import get_m2_leg, get_moonbot_leg
+
+    return {"moonbot": get_moonbot_leg, "m2": get_m2_leg}[name](azimuth)
+
+
+def cmd_prepare(args) -> None:
+    from legmov_tpu.terrain import moon_ground
+
+    os.makedirs(args.dir, exist_ok=True)
+    terrain = moon_ground(seed=args.seed)
+    np.save(os.path.join(args.dir, "map.npy"), terrain)
+    lio.save_points(terrain, os.path.join(args.dir, "numpy_input_t"))
+    print("map shape:", terrain.shape)
+
+    # body-candidate voxel grid over the map extent + 350 mm of height
+    # (before.py:24-61)
+    vox = args.voxel
+    xs = np.arange(terrain[:, 0].min(), terrain[:, 0].max(), vox)
+    ys = np.arange(terrain[:, 1].min(), terrain[:, 1].max(), vox)
+    zs = np.arange(terrain[:, 2].min(), terrain[:, 2].max() + 350, vox)
+    X, Y, Z = np.meshgrid(xs, ys, zs)
+    body = np.stack([X.ravel(), Y.ravel(), Z.ravel()], -1).astype(np.float32)
+    lio.save_points(body, os.path.join(args.dir, "numpy_input_b"))
+    print("body samples shape:", body.shape)
+
+    # reachability/distance query grid (before.py:65-99 WHOLE3D)
+    pix = args.pix_size
+    xs = np.arange(-100, 601, pix)
+    ys = np.arange(-400, 401, pix)
+    zs = np.arange(-500, 201, pix)
+    X, Y, Z = np.meshgrid(xs, ys, zs)
+    grid = np.stack([X.ravel(), Y.ravel(), Z.ravel()], -1).astype(np.float32)
+    lio.save_points(grid, os.path.join(args.dir, "dist_input_t"))
+    print("reachability shape:", grid.shape)
+
+
+def cmd_evaluate(args) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from legmov_tpu.ops.distance import distance_batch
+    from legmov_tpu.ops.reachability import reachability_batch
+
+    leg = _get_leg(args.leg)
+    pts_np = lio.load_points(os.path.join(args.dir, "dist_input_t"))
+    if pts_np.shape[0] == 0:
+        raise SystemExit("no dist_input_t{x,y,z}.bin found; run prepare first")
+    pts = jnp.asarray(pts_np)
+    n = pts.shape[0]
+
+    t0 = time.perf_counter()
+    reach = np.asarray(reachability_batch(pts, leg))
+    t_reach = time.perf_counter() - t0
+    lio.save_bools(reach, os.path.join(args.dir, "out_reachability.bin"))
+    print(
+        f"reachability: {n} points in {t_reach*1e3:.2f} ms "
+        f"({t_reach/n*1e9:.3f} ns/point incl. host transfer)"
+    )
+
+    t0 = time.perf_counter()
+    ok, vec = distance_batch(pts, leg)
+    vec = np.asarray(vec)
+    t_dist = time.perf_counter() - t0
+    lio.save_points(vec, os.path.join(args.dir, "out_dist_x"))
+    print(
+        f"distance: {n} points in {t_dist*1e3:.2f} ms "
+        f"({t_dist/n*1e9:.3f} ns/point incl. host transfer)"
+    )
+    frac = float(reach.mean()) if n else 0.0
+    print(f"reachable fraction: {frac:.4f}")
+
+
+def cmd_report(args) -> None:
+    from legmov_tpu.viz import (
+        reachable_volume_m3,
+        render_distance,
+        render_reachability,
+    )
+
+    targets = lio.load_points(os.path.join(args.dir, "dist_input_t"))
+    reach = lio.load_bools(os.path.join(args.dir, "out_reachability.bin"))
+    dist = lio.load_points(os.path.join(args.dir, "out_dist_x"))
+    render_reachability(
+        targets, reach, os.path.join(args.dir, "reachability_result.png")
+    )
+    render_distance(
+        targets,
+        dist,
+        os.path.join(args.dir, "distance_result.png"),
+        pix_size=args.pix_size,
+    )
+    np.save(os.path.join(args.dir, "leg0_reach.npy"), reach)
+    vol = reachable_volume_m3(reach, args.pix_size)
+    print(f"reachable volume: {vol:.4f} m^3")
+    print("wrote reachability_result.png, distance_result.png, leg0_reach.npy")
+
+
+def cmd_solve(args) -> None:
+    from legmov_tpu.config import SolverConfig
+    from legmov_tpu.models.hier_solver import solve_positionability
+    from legmov_tpu.models.robot import make_robot
+    from legmov_tpu.models.leg import get_m2_leg, get_moonbot_leg
+
+    terrain = lio.load_points(os.path.join(args.dir, "numpy_input_t"))
+    if terrain.shape[0] == 0:
+        raise SystemExit("no terrain; run prepare first")
+    leg_fn = {"moonbot": get_moonbot_leg, "m2": get_m2_leg}[args.leg]
+    robot = make_robot(leg_fn=leg_fn)
+    cfg = SolverConfig(
+        box_center=tuple(np.median(terrain, axis=0).tolist()),
+        box_size=(args.box, args.box, args.box),
+        max_depth=args.depth,
+    )
+    t0 = time.perf_counter()
+    res = solve_positionability(terrain, robot, cfg)
+    dt = time.perf_counter() - t0
+    valid = res.centers[res.valid]
+    lio.save_points(valid, os.path.join(args.dir, "out_valid_cells_"))
+    np.save(os.path.join(args.dir, "robot_reach.npy"), valid)
+    print(
+        json.dumps(
+            {
+                "cells": int(res.centers.shape[0]),
+                "valid": int(res.valid.sum()),
+                "edge": int(res.edge.sum()),
+                "max_depth": int(res.depth.max()) if res.depth.size else 0,
+                "seconds": round(dt, 3),
+            }
+        )
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(prog="legmov_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("prepare", help="generate terrain + grids -> .bin files")
+    p.add_argument("--dir", default="data")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--voxel", type=float, default=50.0)
+    p.add_argument("--pix-size", type=float, default=5.0)
+    p.set_defaults(fn=cmd_prepare)
+
+    p = sub.add_parser("evaluate", help="run reachability+distance kernels")
+    p.add_argument("--dir", default="data")
+    p.add_argument("--leg", choices=LEGS, default="m2")
+    p.set_defaults(fn=cmd_evaluate)
+
+    p = sub.add_parser("report", help="render result images")
+    p.add_argument("--dir", default="data")
+    p.add_argument("--pix-size", type=float, default=5.0)
+    p.set_defaults(fn=cmd_report)
+
+    p = sub.add_parser("solve", help="hierarchical positionability solve")
+    p.add_argument("--dir", default="data")
+    p.add_argument("--leg", choices=LEGS, default="m2")
+    p.add_argument("--box", type=float, default=5000.0)
+    p.add_argument("--depth", type=int, default=1)
+    p.set_defaults(fn=cmd_solve)
+
+    args = ap.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

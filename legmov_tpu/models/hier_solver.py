@@ -1,0 +1,299 @@
+"""Hierarchical body-pose positionability solver.
+
+TPU-native replacement for the reference's CUDA octree with dynamic
+parallelism (several_leg_octree.cu:241-377 ``branchKernel`` +
+``validity_child``, octree_util.cu.h ``CreateChildBox``): instead of
+device-side recursion and in-kernel ``cudaMalloc`` of child nodes, the tree
+is expanded host-side, breadth-first, one level at a time — every level is
+a dense ``[C, 3]`` array of cell centers with one uniform half-extent (all
+cells of a level share it because splitting is per-axis regular), and cell
+feasibility is evaluated by one jitted, foothold-chunk-scanned kernel.
+
+Cell semantics (validity_child, several_leg_octree.cu:19-151):
+
+* a cell is **valid** if its parent was valid, or some (foothold,
+  orientation) pair gives >= ``legs_for_stability`` legs that can reach
+  that foothold from the cell center;
+* a cell is **on the edge** if for some pair, more than
+  ``leg_count - legs_for_stability`` legs have a workspace-boundary
+  displacement vector that crosses the cell (the reachable-set boundary
+  passes through the cell) — those cells get refined;
+* a cell is a **valid leaf** when some pair is valid and not edge;
+* orientation sampling only activates for cells smaller than
+  ``enable_rot_below`` (settings.h:33); larger cells use the middle sample
+  with an edge margin of ``enable_rot_below / 3``;
+* footholds further than parent-half + total leg reach from the cell are
+  ignored entirely (the elongated-box prefilter,
+  several_leg_octree.cu:76-82).
+
+Note: the reference's "middle-first" angle reordering has an off-by
+expression (``(ind + ind/2) % n`` at octree_util.cu.h:190 maps [0,1,2] ->
+[0,1,0], duplicating the minimum sample); we implement the evident intent
+``(ind + n/2) % n`` so index 0 is the middle of each range (the identity
+orientation for symmetric ranges).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from legmov_tpu.config import SolverConfig
+from legmov_tpu.models.leg import LegDimensions
+from legmov_tpu.ops import quaternion as quat
+from legmov_tpu.ops.orientation import distance_oriented
+
+_f32 = np.float32
+
+
+def orientation_samples(cfg: SolverConfig) -> np.ndarray:
+    """``[S, 4]`` quaternions of the roll/pitch/yaw sample grid.
+
+    Middle-first ordering per axis (flat index 0 = all-middle = identity
+    for symmetric ranges), axis decode order roll -> pitch -> yaw like
+    ``QuaternionFromAngleIndex`` (octree_util.cu.h:184-198).
+    """
+    per_axis = []
+    for ax in range(3):
+        n = cfg.angle_samples[ax]
+        amin, amax = cfg.angle_min_max[ax]
+        inds = (np.arange(n) + n // 2) % n
+        x = inds / max(n - 1, 1)
+        per_axis.append((1 - x) * amin + x * amax)
+    # flat index decodes roll fastest (octree_util.cu.h:186-189)
+    S = cfg.total_angle_samples
+    rpy = np.zeros((S, 3))
+    for idx in range(S):
+        rem = idx
+        for ax in range(3):
+            n = cfg.angle_samples[ax]
+            rpy[idx, ax] = per_axis[ax][rem % n]
+            rem //= n
+    q = quat.from_rpy(rpy[:, 0], rpy[:, 1], rpy[:, 2])
+    return np.asarray(q, _f32)
+
+
+def _total_reach(robot: LegDimensions) -> float:
+    return float(
+        np.max(
+            np.asarray(robot.body)
+            + np.asarray(robot.coxa_length)
+            + np.asarray(robot.femur_length)
+            + np.asarray(robot.tibia_length)
+        )
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "margin", "reach", "chunk", "use_rot"),
+)
+def _eval_cells(
+    centers: jnp.ndarray,  # [C, 3]
+    parent_valid: jnp.ndarray,  # [C] bool
+    half: jnp.ndarray,  # [3] cell half-extent (level constant)
+    parent_half: jnp.ndarray,  # [3]
+    footholds: jnp.ndarray,  # [F, 3], padded with far sentinels
+    quats: jnp.ndarray,  # [S, 4]
+    robot: LegDimensions,  # stacked [L]
+    k: int,
+    margin: float,
+    reach: float,
+    chunk: int,
+    use_rot: bool,
+):
+    """Per-cell (valid, edge, valid_leaf) flags for one level."""
+    C = centers.shape[0]
+    L = int(jax.tree.leaves(robot)[0].shape[0])
+    S = quats.shape[0] if use_rot else 1
+    q = quats[:S]
+
+    elong = parent_half + jnp.float32(reach)
+    h2 = jnp.sum(half * half)
+    big_cell = h2 > jnp.float32(
+        100.0 * 100.0
+    )  # convexRadius (settings.h:34) — per-cell-size branch of the
+    # boundary-crossing test (several_leg_octree.cu:96-105)
+
+    n_chunks = footholds.shape[0] // chunk
+    fh = footholds[: n_chunks * chunk].reshape(n_chunks, chunk, 3)
+
+    def per_chunk(carry, fh_c):
+        any_valid, any_edge, any_leaf = carry
+        vect = fh_c[None, :, :] - centers[:, None, :]  # [C, Fc, 3]
+        # elongated-box prefilter (asymmetric bounds like isInBox,
+        # octree_util.cu.h:153-159)
+        pre = jnp.all((vect > -elong) & (vect <= elong), axis=-1)  # [C, Fc]
+
+        def per_quat(qi):
+            def per_leg(leg):
+                ok, dv = distance_oriented(vect, leg, qi)
+                # boundary-crossing test on the displacement vector
+                # (several_leg_octree.cu:96-105)
+                cross_big = jnp.all((dv > -half) & (dv <= half), axis=-1)
+                dv2 = jnp.sum(dv * dv, axis=-1)
+                cross_small = dv2 < h2 + jnp.float32(margin)
+                cross = jnp.where(big_cell, cross_big, cross_small)
+                return ok, cross
+
+            oks, crosses = jax.vmap(per_leg)(robot)  # [L, C, Fc]
+            reach_count = jnp.sum(oks, axis=0)
+            cross_count = jnp.sum(crosses, axis=0)
+            item_valid = (reach_count >= k) | parent_valid[:, None]
+            item_edge = cross_count > (L - k)
+            item_valid &= pre
+            item_edge &= pre
+            return item_valid, item_edge  # [C, Fc]
+
+        iv, ie = jax.vmap(per_quat)(q)  # [S, C, Fc]
+        leaf = iv & jnp.logical_not(ie)
+        any_valid |= jnp.any(iv, axis=(0, 2))
+        any_edge |= jnp.any(ie, axis=(0, 2))
+        any_leaf |= jnp.any(leaf, axis=(0, 2))
+        return (any_valid, any_edge, any_leaf), None
+
+    init = (
+        jnp.zeros(C, bool),
+        jnp.zeros(C, bool),
+        jnp.zeros(C, bool),
+    )
+    (any_valid, any_edge, any_leaf), _ = jax.lax.scan(per_chunk, init, fh)
+    return any_valid, any_edge, any_leaf
+
+
+@dataclasses.dataclass
+class CellRecord:
+    """Terminal cells of the hierarchical solve."""
+
+    centers: np.ndarray  # [M, 3]
+    halves: np.ndarray  # [M, 3]
+    valid: np.ndarray  # [M] bool
+    edge: np.ndarray  # [M] bool  (terminal edge cells at max depth)
+    depth: np.ndarray  # [M] int
+
+
+def _split_children(
+    centers: np.ndarray, half: np.ndarray, min_box: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """All children centers of ``centers`` and the child half-extent.
+
+    Per-axis halving only while the half-extent is >= the per-axis minimum
+    (CreateChildBox semantics, octree_util.cu.h:105-151).
+    """
+    split = half >= min_box
+    offs = [(-0.5, 0.5) if s else (0.0,) for s in split]
+    child_half = np.where(split, half / 2, half).astype(_f32)
+    shifts = np.array(
+        [(ox, oy, oz) for ox in offs[0] for oy in offs[1] for oz in offs[2]],
+        _f32,
+    )
+    shifts = shifts * half
+    children = (centers[:, None, :] + shifts[None, :, :]).reshape(-1, 3)
+    return children.astype(_f32), child_half
+
+
+def solve_positionability(
+    footholds: np.ndarray,
+    robot: LegDimensions,
+    cfg: SolverConfig = SolverConfig(),
+    chunk: int = 512,
+    cell_batch: int = 1024,
+) -> CellRecord:
+    """Breadth-first hierarchical positionability solve.
+
+    Returns the terminal cells (leaves + max-depth edge cells) with their
+    validity flags; ``centers[valid]`` is the reference's
+    ``extractValidAsArray`` output (octree_util.cu:155-180).
+    """
+    k = cfg.legs_for_stability
+    reach = _total_reach(robot)
+    quats = jnp.asarray(orientation_samples(cfg))
+    min_box = np.asarray(cfg.min_box, _f32)
+
+    # pad footholds to a chunk multiple with far-away sentinels that the
+    # elongated-box prefilter rejects
+    F = footholds.shape[0]
+    pad = (-F) % chunk
+    fh = np.concatenate(
+        [footholds, np.full((pad, 3), 1e9, _f32)]
+    ).astype(_f32)
+    fh_dev = jnp.asarray(fh)
+
+    out: list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]] = []
+
+    centers = np.asarray([cfg.box_center], _f32)
+    half = np.asarray(cfg.box_size, _f32)
+    parent_valid = np.zeros(1, bool)
+
+    for depth in range(cfg.max_depth + 1):
+        children, child_half = _split_children(centers, half, min_box)
+        n_children = children.shape[0] // centers.shape[0]
+        child_parent_valid = np.repeat(parent_valid, n_children)
+
+        rot_active = bool(half[0] < cfg.enable_rot_below)
+        margin = 0.0 if rot_active else cfg.enable_rot_below / 3.0
+
+        # evaluate in power-of-two cell batches (padded) so compilation is
+        # bounded to a few shapes while tiny levels don't pay for the full
+        # batch size
+        C = children.shape[0]
+        batch = min(cell_batch, 1 << (max(C - 1, 1)).bit_length())
+        valid = np.zeros(C, bool)
+        edge = np.zeros(C, bool)
+        leaf_ok = np.zeros(C, bool)
+        for s in range(0, C, batch):
+            e = min(s + batch, C)
+            n = e - s
+            cpad = batch - n
+            cc = np.concatenate([children[s:e], np.full((cpad, 3), 1e9, _f32)])
+            pv = np.concatenate([child_parent_valid[s:e], np.zeros(cpad, bool)])
+            v, ed, lf = _eval_cells(
+                jnp.asarray(cc),
+                jnp.asarray(pv),
+                jnp.asarray(child_half),
+                jnp.asarray(half),
+                fh_dev,
+                quats,
+                robot,
+                k=k,
+                margin=float(margin),
+                reach=reach,
+                chunk=chunk,
+                use_rot=rot_active,
+            )
+            valid[s:e] = np.asarray(v)[:n]
+            edge[s:e] = np.asarray(ed)[:n]
+            leaf_ok[s:e] = np.asarray(lf)[:n]
+
+        splittable = bool(np.any(child_half >= min_box))
+        refine = edge & ~leaf_ok
+        last_level = depth == cfg.max_depth or not splittable
+        terminal = ~refine if not last_level else np.ones(C, bool)
+
+        if np.any(terminal):
+            n_term = int(terminal.sum())
+            out.append(
+                (
+                    children[terminal],
+                    np.broadcast_to(child_half, (n_term, 3)),
+                    valid[terminal],
+                    refine[terminal] if last_level else np.zeros(n_term, bool),
+                    depth,
+                )
+            )
+        if last_level or not np.any(refine):
+            break
+        centers = children[refine]
+        parent_valid = valid[refine]
+        half = child_half
+
+    cs = np.concatenate([o[0] for o in out])
+    hs = np.concatenate([o[1] for o in out])
+    vs = np.concatenate([o[2] for o in out])
+    es = np.concatenate([o[3] for o in out])
+    ds = np.concatenate([np.full(o[0].shape[0], o[4]) for o in out])
+    return CellRecord(centers=cs, halves=hs, valid=vs, edge=es, depth=ds)

@@ -74,6 +74,23 @@ class LegWorkspace(NamedTuple):
     coxa_length: jnp.ndarray
     max_angle_coxa: jnp.ndarray
     min_angle_coxa: jnp.ndarray
+    # --- precomputed fast-path tables (all derived from the above) --------
+    # Squared circle-test thresholds: d2 <= r2 means "inside";
+    # lo2 < d2 < hi2 means "within CIRCLE_MARGIN of the circumference"
+    # (lo2 = -1 when r < margin so the lower bound never fires).
+    circle_r2: jnp.ndarray  # [2, 2, 4]
+    circle_hi2: jnp.ndarray  # [2, 2, 4]  (r + margin)^2
+    circle_lo2: jnp.ndarray  # [2, 2, 4]  (r - margin)^2 or -1
+    # Unit direction of each angular threshold, for trig-free half-plane
+    # comparisons sign(sin(angle - theta)) = sign(y cos(theta) - x sin(theta)).
+    coxa_max_dir: jnp.ndarray  # [2] (cos, sin) of max_angle_coxa
+    coxa_min_dir: jnp.ndarray  # [2]
+    coxa_gt_possible: jnp.ndarray  # bool: max_angle_coxa < pi/2
+    coxa_lt_possible: jnp.ndarray  # bool: min_angle_coxa > -pi/2
+    mid_dir: jnp.ndarray  # [2] (cos, sin) of middle_angle
+    mid_neg: jnp.ndarray  # bool: middle_angle < 0
+    sat_dir: jnp.ndarray  # [2, 2] per region (cos, sin) of sat_limit
+    sat_neg: jnp.ndarray  # [2] bool: sat_limit < 0
 
 
 def _circle(cx, cy, r, attract):
@@ -232,6 +249,22 @@ def build_workspace(leg: LegDimensions) -> LegWorkspace:
     corner_y = fem * jnp.sin(fem_list) + tib * jnp.sin(abs_ang)
     corner_xy = jnp.stack([corner_x, corner_y], axis=-1)
 
+    # --- fast-path tables --------------------------------------------------
+    from legmov_tpu.config import CIRCLE_MARGIN  # local: avoid import cycle
+
+    margin = _f32(CIRCLE_MARGIN)
+    r_tab = circle_r
+    r2 = r_tab * r_tab
+    hi2 = (r_tab + margin) * (r_tab + margin)
+    lo = r_tab - margin
+    lo2 = jnp.where(lo < 0, _f32(-1.0), lo * lo)
+
+    def unit_dir(theta):
+        return jnp.stack([jnp.cos(theta), jnp.sin(theta)]).astype(_f32)
+
+    half_pi = _f32(jnp.pi / 2)
+    sat_angles = jnp.stack([sat_low, sat_up]).astype(_f32)
+
     return LegWorkspace(
         circle_x=circle_x.astype(_f32),
         circle_y=circle_y.astype(_f32),
@@ -246,6 +279,19 @@ def build_workspace(leg: LegDimensions) -> LegWorkspace:
         coxa_length=leg.coxa_length,
         max_angle_coxa=leg.max_angle_coxa,
         min_angle_coxa=leg.min_angle_coxa,
+        circle_r2=r2.astype(_f32),
+        circle_hi2=hi2.astype(_f32),
+        circle_lo2=lo2.astype(_f32),
+        coxa_max_dir=unit_dir(leg.max_angle_coxa),
+        coxa_min_dir=unit_dir(leg.min_angle_coxa),
+        coxa_gt_possible=leg.max_angle_coxa < half_pi,
+        coxa_lt_possible=leg.min_angle_coxa > -half_pi,
+        mid_dir=unit_dir(middle_angle),
+        mid_neg=jnp.asarray(middle_angle, _f32) < 0,
+        sat_dir=jnp.stack(
+            [unit_dir(sat_low), unit_dir(sat_up)]
+        ).astype(_f32),
+        sat_neg=sat_angles < 0,
     )
 
 
@@ -268,5 +314,29 @@ def select_circles(ws: LegWorkspace, upper, extended):
         pick(ws.circle_x),
         pick(ws.circle_y),
         pick(ws.circle_r),
+        pick(ws.circle_attract),
+    )
+
+
+def select_validate_tables(ws: LegWorkspace, upper, extended):
+    """Like :func:`select_circles` but with the squared fast-path thresholds.
+
+    Returns ``(cx, cy, r2, hi2, lo2, attract)`` each ``[..., 4]`` — all a
+    reachability test needs, with no square roots downstream.
+    """
+    u = upper[..., None]
+    e = extended[..., None]
+
+    def pick(t):
+        low = jnp.where(e, t[0, 1], t[0, 0])
+        up = jnp.where(e, t[1, 1], t[1, 0])
+        return jnp.where(u, up, low)
+
+    return (
+        pick(ws.circle_x),
+        pick(ws.circle_y),
+        pick(ws.circle_r2),
+        pick(ws.circle_hi2),
+        pick(ws.circle_lo2),
         pick(ws.circle_attract),
     )

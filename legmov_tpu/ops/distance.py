@@ -10,6 +10,12 @@ boolean.
 Both the direct coxa heading and its pi-flip (point behind the leg) are
 evaluated densely and the better one selected with masks — the reference's
 per-thread double evaluation becomes a doubled lane, not a branch.
+
+TPU-first cost model: one ``atan2`` per point (the raw coxa angle, needed
+for the reference's saturation comparisons) and a handful of square roots;
+every rotation uses cos/sin obtained from coordinates (cos(atan2(y, x)) =
+x / rho) or from precomputed limit directions, never from per-point trig,
+and every distance comparison is done on squared values.
 """
 
 from __future__ import annotations
@@ -27,42 +33,59 @@ _f32 = jnp.float32
 _PI = np.float32(3.14159265358979323846)
 
 
-def _norm3(x, y, z):
-    return jnp.sqrt(x * x + y * y + z * z)
-
-
-def _finish_finding_closest(x, y, z, ws: LegWorkspace, coxa_angle):
+def _finish_finding_closest(x, y, z, ws: LegWorkspace, coxa_angle, cos_a, sin_a):
     """Clamp in the (possibly saturated) coxa plane (one_leg.cu:215-278).
+
+    ``coxa_angle`` is the raw heading of this branch (direct or pi-flipped)
+    and ``(cos_a, sin_a)`` its direction — supplied by the caller from
+    coordinate ratios, so no trig happens here: the saturated direction is
+    a select between (cos_a, sin_a), its negation (mega-saturation), and
+    the precomputed limit directions.
 
     Returns ``(valid, dx, dy, dz)``: validity = in-plane validity AND coxa
     not saturated; (dx, dy, dz) = displacement from the chosen boundary
     point to the query, in the coxa frame.
     """
     half_pi = _PI / _f32(2.0)
-    mega = (coxa_angle > ws.max_angle_coxa + half_pi) | (
-        coxa_angle < ws.min_angle_coxa - half_pi
+    max_a, min_a = ws.max_angle_coxa, ws.min_angle_coxa
+    cos_max, sin_max = ws.coxa_max_dir[0], ws.coxa_max_dir[1]
+    cos_min, sin_min = ws.coxa_min_dir[0], ws.coxa_min_dir[1]
+
+    mega = (coxa_angle > max_a + half_pi) | (coxa_angle < min_a - half_pi)
+    over = coxa_angle > max_a
+    under = coxa_angle < min_a
+    coxa_saturated = mega | over | under
+
+    # direction of the saturated angle, via selects (no trig):
+    #   mega     -> angle -+ pi    -> negated direction
+    #   over max -> clamped to max -> precomputed max direction
+    #   under min-> clamped to min -> precomputed min direction
+    #   else     -> the angle itself
+    c1 = jnp.where(
+        mega, -cos_a, jnp.where(over, cos_max, jnp.where(under, cos_min, cos_a))
     )
-    flipped = jnp.where(coxa_angle > 0, coxa_angle - _PI, coxa_angle + _PI)
-    clamped = jnp.maximum(jnp.minimum(coxa_angle, ws.max_angle_coxa),
-                          ws.min_angle_coxa)
-    sat_angle = jnp.where(mega, flipped, clamped)
-    coxa_saturated = sat_angle != coxa_angle
-    coxa_limit = jnp.where(
-        coxa_angle > (ws.max_angle_coxa + ws.min_angle_coxa) / _f32(2.0),
-        ws.max_angle_coxa,
-        ws.min_angle_coxa,
+    s1 = jnp.where(
+        mega, -sin_a, jnp.where(over, sin_max, jnp.where(under, sin_min, sin_a))
     )
 
-    xr, yr, c1, s1 = frames.cancel_coxa_rotation(x, y, sat_angle)
+    # rotate into the saturated coxa plane (cancel_coxa_rotation semantics)
+    xr = x * c1 + y * s1
+    yr = -x * s1 + y * c1
     was_valid, dxp, dzp = plane_clamp(xr - ws.coxa_length, z, ws)
 
-    # alternative boundary: the coxa angular-limit plane.  Rotate the saved
-    # point into the limit plane; its residual y is the distance to that
-    # plane (one_leg.cu:258-274).
-    _, ys, c2, s2 = frames.cancel_coxa_rotation(xr, yr, coxa_limit - sat_angle)
-    dist_clamped = _norm3(dxp, yr, dzp)
-    better_not_clamp = was_valid & jnp.logical_not(mega) & (
-        dist_clamped > jnp.abs(ys)
+    # alternative boundary: the coxa angular-limit plane (one_leg.cu:258-274).
+    # Rotating the saved point by (limit - sat_angle) needs cos/sin of the
+    # difference -> angle-addition formulas on precomputed limit directions.
+    use_max = coxa_angle > (max_a + min_a) / _f32(2.0)
+    cl = jnp.where(use_max, cos_max, cos_min)
+    sl = jnp.where(use_max, sin_max, sin_min)
+    c2 = cl * c1 + sl * s1  # cos(limit - sat)
+    s2 = sl * c1 - cl * s1  # sin(limit - sat)
+    ys = -xr * s2 + yr * c2  # residual y in the limit plane
+
+    dist2_clamped = dxp * dxp + yr * yr + dzp * dzp
+    better_not_clamp = (
+        was_valid & jnp.logical_not(mega) & (dist2_clamped > ys * ys)
     )
     rx, ry = frames.restore_coxa_rotation(jnp.zeros_like(ys), ys, c2, s2)
 
@@ -81,12 +104,24 @@ def distance_ws(points: jnp.ndarray, ws: LegWorkspace):
     coxangle = jnp.arctan2(y, x)
     coxangle_flip = jnp.where(coxangle > 0, coxangle - _PI, coxangle + _PI)
 
-    res, dx, dy, dz = _finish_finding_closest(x, y, z, ws, coxangle)
-    resf, fx, fy, fz = _finish_finding_closest(x, y, z, ws, coxangle_flip)
+    # direction of the heading from coordinates: cos = x/rho, sin = y/rho
+    # (identity direction for the degenerate on-axis point, where atan2=0)
+    rho = jnp.sqrt(x * x + y * y)
+    on_axis = rho == 0
+    inv = jnp.where(on_axis, _f32(1.0), rho)
+    cos_a = jnp.where(on_axis, _f32(1.0), x / inv)
+    sin_a = jnp.where(on_axis, _f32(0.0), y / inv)
 
-    use_direct = jnp.where(
-        res == resf, _norm3(dx, dy, dz) < _norm3(fx, fy, fz), res
+    res, dx, dy, dz = _finish_finding_closest(
+        x, y, z, ws, coxangle, cos_a, sin_a
     )
+    resf, fx, fy, fz = _finish_finding_closest(
+        x, y, z, ws, coxangle_flip, -cos_a, -sin_a
+    )
+
+    d2_direct = dx * dx + dy * dy + dz * dz
+    d2_flip = fx * fx + fy * fy + fz * fz
+    use_direct = jnp.where(res == resf, d2_direct < d2_flip, res)
     ox = jnp.where(use_direct, dx, fx)
     oy = jnp.where(use_direct, dy, fy)
     oz = jnp.where(use_direct, dz, fz)

@@ -19,23 +19,49 @@ import jax.numpy as jnp
 import numpy as np
 
 from legmov_tpu.config import CIRCLE_MARGIN
-from legmov_tpu.models.workspace import LegWorkspace, select_circles
+from legmov_tpu.models.workspace import (
+    LegWorkspace,
+    select_circles,
+    select_validate_tables,
+)
 
 _f32 = jnp.float32
 _MARGIN = np.float32(CIRCLE_MARGIN)
 _BIG = np.float32(3.4e38)
 
 
+def _angle_gt(x, y, dir_cs, theta_neg):
+    """Trig-free ``atan2(y, x) > theta`` for a precomputed threshold.
+
+    ``dir_cs = (cos(theta), sin(theta))``, ``theta_neg = theta < 0``.  Uses
+    ``sign(sin(angle - theta)) = sign(y cos(theta) - x sin(theta))`` on the
+    half-plane where that identity is wrap-free:
+
+    * theta <  0: y >= 0 means angle in [0, pi] > theta (always true);
+      y < 0 means angle in (-pi, 0), where the cross test is safe.
+    * theta >= 0: y < 0 means angle < 0 <= theta (always false);
+      y >= 0 means angle in [0, pi], where the cross test is safe.
+
+    Matches the raw float comparison of the reference (circles.cu.h:48-78)
+    up to fp32 ulp at the decision boundary.
+    """
+    cross = y * dir_cs[0] - x * dir_cs[1]
+    pos = cross > 0
+    return jnp.where(y >= 0, theta_neg | pos, theta_neg & pos)
+
+
 def find_region(x, y, ws: LegWorkspace):
     """Classify plane points: (upper, fully_extended) bits.
 
     Semantics of reference circles.cu.h:48-78 with all leg-dependent terms
-    precomputed into ``ws`` (middle_angle, sat_limit).
+    precomputed into ``ws`` and the two ``atan2`` comparisons replaced by
+    trig-free half-plane tests.
     """
-    angle = jnp.arctan2(y, x)
-    upper = angle > ws.middle_angle
-    sat = jnp.where(upper, ws.sat_limit[1], ws.sat_limit[0])
-    fully_extended = upper ^ (angle > sat)
+    upper = _angle_gt(x, y, ws.mid_dir, ws.mid_neg)
+    sat_dir = jnp.where(upper[..., None], ws.sat_dir[1], ws.sat_dir[0])
+    sat_neg = jnp.where(upper, ws.sat_neg[1], ws.sat_neg[0])
+    gt_sat = _angle_gt(x, y, (sat_dir[..., 0], sat_dir[..., 1]), sat_neg)
+    fully_extended = upper ^ gt_sat
     return upper, fully_extended
 
 
@@ -58,13 +84,19 @@ def plane_validate(x, y, ws: LegWorkspace):
     """Reachability in the plane: point valid against all 4 region circles.
 
     Semantics of ``eval_plane_circles<REACH>`` -> ``multi_circle_validate``
-    (one_leg.cu:65-89, :167-208).  ``x``/``y`` are femur-frame coordinates
-    (coxa_length already subtracted by the caller).  Shape ``[...] -> [...]``
-    bool.
+    (one_leg.cu:65-89, :167-208) with every test done on squared distances
+    against precomputed thresholds — zero square roots, zero trig.
+    ``x``/``y`` are femur-frame coordinates (coxa_length already subtracted
+    by the caller).  Shape ``[...] -> [...]`` bool.
     """
     upper, ext = find_region(x, y, ws)
-    cx, cy, r, attract = select_circles(ws, upper, ext)
-    _, valid, _, _, _ = _circumference(x[..., None], y[..., None], cx, cy, r, attract)
+    cx, cy, r2, hi2, lo2, attract = select_validate_tables(ws, upper, ext)
+    dx = x[..., None] - cx
+    dy = y[..., None] - cy
+    d2 = dx * dx + dy * dy
+    inside = d2 <= r2
+    near = (d2 < hi2) & (d2 > lo2)
+    valid = (inside == attract) | near
     return jnp.all(valid, axis=-1)
 
 
@@ -88,49 +120,67 @@ def plane_clamp(x, y, ws: LegWorkspace):
     displacement from the chosen boundary point to the query.
     """
     upper, ext = find_region(x, y, ws)
-    cx, cy, r, attract = select_circles(ws, upper, ext)
-    xq = x[..., None]
-    yq = y[..., None]
+    cx4, cy4, r2, hi2, lo2, attract4 = select_validate_tables(ws, upper, ext)
+    u, e = upper[..., None], ext[..., None]
+    r4 = jnp.where(
+        u,
+        jnp.where(e, ws.circle_r[1, 1], ws.circle_r[1, 0]),
+        jnp.where(e, ws.circle_r[0, 1], ws.circle_r[0, 0]),
+    )
 
-    signed, valid, dx, dy, mag = _circumference(xq, yq, cx, cy, r, attract)
+    # per-circle: squared distance, validity (squared thresholds), clamp
+    dx = x[..., None] - cx4
+    dy = y[..., None] - cy4
+    d2 = dx * dx + dy * dy
+    inside = d2 <= r2
+    near = (d2 < hi2) & (d2 > lo2)
+    valid = (inside == attract4) | near  # [..., 4]
     overall_valid = jnp.all(valid, axis=-1)
 
-    # clamp the query onto each circle (one_leg.cu:42-63), guarding the
-    # degenerate point-at-center case
-    deg = mag < _MARGIN
-    ux = jnp.where(deg, _f32(1.0), dx)
-    uy = jnp.where(deg, _f32(0.0), dy)
-    um = jnp.where(deg, _f32(1.0), mag)
-    scale = r / um
-    clamp_x = cx + ux * scale  # [..., 4]
-    clamp_y = cy + uy * scale
+    mag = jnp.sqrt(d2)
+    deg = mag < _MARGIN  # degenerate point-at-center guard (one_leg.cu:54-58)
+    scale = r4 / jnp.where(deg, _f32(1.0), mag)
+    clamp_x = cx4 + jnp.where(deg, _f32(1.0), dx) * scale  # [..., 4]
+    clamp_y = cy4 + jnp.where(deg, _f32(0.0), dy) * scale
+    score2 = (r4 - mag) * (r4 - mag)  # squared |signed distance|
 
-    # validate each clamped point against all 4 circles: [..., 4 clamps, 4]
-    _, cvalid, _, _, _ = _circumference(
-        clamp_x[..., None], clamp_y[..., None],
-        cx[..., None, :], cy[..., None, :], r[..., None, :], attract[..., None, :],
+    # validate each clamped point against all 4 circles (squared thresholds)
+    vx = clamp_x[..., None] - cx4[..., None, :]
+    vy = clamp_y[..., None] - cy4[..., None, :]
+    v2 = vx * vx + vy * vy
+    cvalid = ((v2 <= r2[..., None, :]) == attract4[..., None, :]) | (
+        (v2 < hi2[..., None, :]) & (v2 > lo2[..., None, :])
     )
     clamp_ok = jnp.all(cvalid, axis=-1)  # [..., 4]
-    circle_score = jnp.where(clamp_ok, jnp.abs(signed), _BIG)
 
-    # corner points: candidates only when the query is invalid
-    pcx = ws.corner_xy[..., :, 0]
-    pcy = ws.corner_xy[..., :, 1]
-    cdx = xq - pcx
-    cdy = yq - pcy
-    corner_score = jnp.sqrt(cdx * cdx + cdy * cdy)
-    corner_on = ws.corner_valid & jnp.logical_not(overall_valid)[..., None]
-    corner_score = jnp.where(corner_on, corner_score, _BIG)
+    # fold the 4 circle candidates then the 10 corner candidates, in the
+    # reference's iteration order with strict-< first-wins tie-breaking
+    # (one_leg.cu:91-145); squared scores compare identically to |scores|.
+    best_s2 = jnp.full(jnp.shape(x), _BIG, _f32)
+    best_x = jnp.zeros_like(x)
+    best_y = jnp.zeros_like(x)
+    for i in range(4):
+        s2 = jnp.where(clamp_ok[..., i], score2[..., i], _BIG)
+        take = s2 < best_s2
+        best_s2 = jnp.where(take, s2, best_s2)
+        best_x = jnp.where(take, clamp_x[..., i], best_x)
+        best_y = jnp.where(take, clamp_y[..., i], best_y)
+    # corner points participate only when the query is invalid
+    invalid = jnp.logical_not(overall_valid)
+    for j in range(int(ws.corner_valid.shape[-1])):
+        pcx = ws.corner_xy[..., j, 0]
+        pcy = ws.corner_xy[..., j, 1]
+        cdx = x - pcx
+        cdy = y - pcy
+        s2 = jnp.where(
+            ws.corner_valid[..., j] & invalid, cdx * cdx + cdy * cdy, _BIG
+        )
+        take = s2 < best_s2
+        best_s2 = jnp.where(take, s2, best_s2)
+        best_x = jnp.where(take, pcx, best_x)
+        best_y = jnp.where(take, pcy, best_y)
 
-    scores = jnp.concatenate([circle_score, corner_score], axis=-1)  # [..., 14]
-    best = jnp.argmin(scores, axis=-1)  # first min wins ties, like the ref
-    bx_all = jnp.concatenate([clamp_x, jnp.broadcast_to(pcx, corner_score.shape)],
-                             axis=-1)
-    by_all = jnp.concatenate([clamp_y, jnp.broadcast_to(pcy, corner_score.shape)],
-                             axis=-1)
-    found = jnp.take_along_axis(scores, best[..., None], axis=-1)[..., 0] < _BIG
-    bx = jnp.take_along_axis(bx_all, best[..., None], axis=-1)[..., 0]
-    by = jnp.take_along_axis(by_all, best[..., None], axis=-1)[..., 0]
-    out_x = x - jnp.where(found, bx, _f32(0.0))
-    out_y = y - jnp.where(found, by, _f32(0.0))
+    found = best_s2 < _BIG
+    out_x = x - jnp.where(found, best_x, _f32(0.0))
+    out_y = y - jnp.where(found, best_y, _f32(0.0))
     return overall_valid, out_x, out_y

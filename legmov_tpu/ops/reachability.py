@@ -19,17 +19,35 @@ from legmov_tpu.ops.plane import plane_validate
 
 
 def reachability_ws(points: jnp.ndarray, ws: LegWorkspace) -> jnp.ndarray:
-    """Reachability booleans for ``points [..., 3]`` given a prebuilt workspace."""
+    """Reachability booleans for ``points [..., 3]`` given a prebuilt workspace.
+
+    Fully trig-free per point: the reference's ``atan2`` + ``sincos`` chain
+    (one_leg.cu:288-315) collapses to one ``sqrt`` plus cross-product sign
+    tests against precomputed limit directions, because rotating a point
+    into its own coxa plane just replaces (x, y) by its radius.
+    """
     p = frames.place_over_coxa(points, ws.body, ws.coxa_pitch)
     x, y, z = p[..., 0], p[..., 1], p[..., 2]
 
     # required coxa yaw, computed on the mirrored half-plane when x < 0
-    # (one_leg.cu:288-303)
-    angle = frames.coxa_angle_flipped(x, y)
-    coxa_invalid = (angle > ws.max_angle_coxa) | (angle < ws.min_angle_coxa)
+    # (one_leg.cu:288-303): angle = atan2(fy, fx) in (-pi/2, pi/2].  The
+    # limit tests angle > max / angle < min become cross-product signs
+    # (wrap-free because |angle| <= pi/2 and |limit| < pi/2; limits beyond
+    # +-pi/2 can never fire on the mirrored half-plane).
+    flip = jnp.signbit(x)
+    fx = jnp.where(flip, -x, x)
+    fy = jnp.where(flip, -y, y)
+    gt_max = ws.coxa_gt_possible & (
+        fy * ws.coxa_max_dir[0] - fx * ws.coxa_max_dir[1] > 0
+    )
+    lt_min = ws.coxa_lt_possible & (
+        fy * ws.coxa_min_dir[0] - fx * ws.coxa_min_dir[1] < 0
+    )
+    coxa_invalid = gt_max | lt_min
 
-    # into the coxa-aligned vertical plane; radial coordinate can be negative
-    xr, _, _, _ = frames.cancel_coxa_rotation(x, y, angle)
+    # "rotate into the coxa vertical plane" = radial coordinate +-rho
+    rho = jnp.sqrt(x * x + y * y)
+    xr = jnp.where(flip, -rho, rho)
     reach = plane_validate(xr - ws.coxa_length, z, ws)
     return jnp.logical_not(coxa_invalid) & reach
 
