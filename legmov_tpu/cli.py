@@ -146,7 +146,9 @@ def cmd_solve(args) -> None:
         max_depth=args.depth,
     )
     t0 = time.perf_counter()
-    res = solve_positionability(terrain, robot, cfg)
+    res = solve_positionability(
+        terrain, robot, cfg, shared_foothold=(args.mode == "shared")
+    )
     dt = time.perf_counter() - t0
     valid = res.centers[res.valid]
     lio.save_points(valid, os.path.join(args.dir, "out_valid_cells_"))
@@ -190,6 +192,13 @@ def main() -> None:
     p.add_argument("--leg", choices=LEGS, default="m2")
     p.add_argument("--box", type=float, default=5000.0)
     p.add_argument("--depth", type=int, default=1)
+    p.add_argument(
+        "--mode",
+        choices=("shared", "per-leg"),
+        default="per-leg",
+        help="shared = reference octree rule (k legs on one foothold); "
+        "per-leg = each leg may use its own foothold",
+    )
     p.set_defaults(fn=cmd_solve)
 
     args = ap.parse_args()

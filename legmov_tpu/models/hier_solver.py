@@ -90,7 +90,7 @@ def _total_reach(robot: LegDimensions) -> float:
 
 @partial(
     jax.jit,
-    static_argnames=("k", "margin", "reach", "chunk", "use_rot"),
+    static_argnames=("k", "margin", "reach", "chunk", "use_rot", "shared"),
 )
 def _eval_cells(
     centers: jnp.ndarray,  # [C, 3]
@@ -105,8 +105,17 @@ def _eval_cells(
     reach: float,
     chunk: int,
     use_rot: bool,
+    shared: bool = True,
 ):
-    """Per-cell (valid, edge, valid_leaf) flags for one level."""
+    """Per-cell (valid, edge, valid_leaf) flags for one level.
+
+    ``shared=True`` reproduces the reference octree's validity — >= k legs
+    must reach the SAME foothold (several_leg_octree.cu:91-116, a very
+    strict criterion that is near-unsatisfiable for k = leg_count).
+    ``shared=False`` uses the thrust pipeline's physically-meaningful rule —
+    each leg may use its own foothold (any-over-footholds per leg, then
+    count legs; several_leg.cu:633-697).
+    """
     C = centers.shape[0]
     L = int(jax.tree.leaves(robot)[0].shape[0])
     S = quats.shape[0] if use_rot else 1
@@ -123,7 +132,7 @@ def _eval_cells(
     fh = footholds[: n_chunks * chunk].reshape(n_chunks, chunk, 3)
 
     def per_chunk(carry, fh_c):
-        any_valid, any_edge, any_leaf = carry
+        any_valid, any_edge, any_leaf, leg_any = carry
         vect = fh_c[None, :, :] - centers[:, None, :]  # [C, Fc, 3]
         # elongated-box prefilter (asymmetric bounds like isInBox,
         # octree_util.cu.h:153-159)
@@ -138,30 +147,38 @@ def _eval_cells(
                 dv2 = jnp.sum(dv * dv, axis=-1)
                 cross_small = dv2 < h2 + jnp.float32(margin)
                 cross = jnp.where(big_cell, cross_big, cross_small)
-                return ok, cross
+                return ok & pre, cross
 
             oks, crosses = jax.vmap(per_leg)(robot)  # [L, C, Fc]
             reach_count = jnp.sum(oks, axis=0)
             cross_count = jnp.sum(crosses, axis=0)
-            item_valid = (reach_count >= k) | parent_valid[:, None]
-            item_edge = cross_count > (L - k)
-            item_valid &= pre
-            item_edge &= pre
-            return item_valid, item_edge  # [C, Fc]
+            item_valid = ((reach_count >= k) | parent_valid[:, None]) & pre
+            item_edge = (cross_count > (L - k)) & pre
+            return item_valid, item_edge, jnp.any(oks, axis=-1)  # [C,Fc],[C,Fc],[L,C]
 
-        iv, ie = jax.vmap(per_quat)(q)  # [S, C, Fc]
+        iv, ie, la = jax.vmap(per_quat)(q)  # [S, C, Fc] / [S, L, C]
         leaf = iv & jnp.logical_not(ie)
         any_valid |= jnp.any(iv, axis=(0, 2))
         any_edge |= jnp.any(ie, axis=(0, 2))
         any_leaf |= jnp.any(leaf, axis=(0, 2))
-        return (any_valid, any_edge, any_leaf), None
+        leg_any |= la
+        return (any_valid, any_edge, any_leaf, leg_any), None
 
     init = (
         jnp.zeros(C, bool),
         jnp.zeros(C, bool),
         jnp.zeros(C, bool),
+        jnp.zeros((S, L, C), bool),
     )
-    (any_valid, any_edge, any_leaf), _ = jax.lax.scan(per_chunk, init, fh)
+    (any_valid, any_edge, any_leaf, leg_any), _ = jax.lax.scan(
+        per_chunk, init, fh
+    )
+    if not shared:
+        # each leg may claim its own foothold: count legs with any
+        # reachable foothold, per orientation; quorum over that count
+        counts = jnp.sum(leg_any, axis=1)  # [S, C]
+        any_valid = jnp.any(counts >= k, axis=0) | parent_valid
+        any_leaf = any_valid & jnp.logical_not(any_edge)
     return any_valid, any_edge, any_leaf
 
 
@@ -202,12 +219,18 @@ def solve_positionability(
     cfg: SolverConfig = SolverConfig(),
     chunk: int = 512,
     cell_batch: int = 1024,
+    shared_foothold: bool = True,
 ) -> CellRecord:
     """Breadth-first hierarchical positionability solve.
 
     Returns the terminal cells (leaves + max-depth edge cells) with their
     validity flags; ``centers[valid]`` is the reference's
     ``extractValidAsArray`` output (octree_util.cu:155-180).
+
+    ``shared_foothold=True`` is the reference octree criterion (>= k legs on
+    one shared foothold); ``False`` lets every leg claim its own foothold
+    (the thrust-pipeline criterion — use this for physically meaningful
+    stances).
     """
     k = cfg.legs_for_stability
     reach = _total_reach(robot)
@@ -264,6 +287,7 @@ def solve_positionability(
                 reach=reach,
                 chunk=chunk,
                 use_rot=rot_active,
+                shared=shared_foothold,
             )
             valid[s:e] = np.asarray(v)[:n]
             edge[s:e] = np.asarray(ed)[:n]

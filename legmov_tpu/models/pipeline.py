@@ -1,0 +1,196 @@
+"""Dense body-pose x orientation positionability pipeline.
+
+TPU re-derivation of the reference's thrust stream-compaction pipeline
+(``robot_full_struct`` / ``multi_rot_estimator``, several_leg.cu:326-877):
+a candidate body-position map and a terrain map go in; for every
+(candidate, orientation) the pipeline decides whether the robot can stand
+there.  The reference shrinks the candidate set with ``thrust::remove_if``
+between stages; on TPU the candidate set stays a dense array and every
+stage is a mask — pruning stages cost one fused reduction each and XLA
+skips no work, but the arithmetic is so much cheaper than the reachability
+stage that masking wins over dynamic compaction (SURVEY.md section 2.10).
+
+Stages (masks, all per body candidate):
+
+1. ``always_collide``  — some foothold inside the body-collision sphere
+   (r=60, several_leg.cu:413-440): standing here always collides.
+2. ``near_targets``    — some foothold within r=400
+   (several_leg.cu:442-502): otherwise nothing is in reach.
+3. per orientation q:
+   a. reach/collision cylinders in the oriented body frame
+      (``eliminateFarAndColliding``, several_leg.cu:504-559) with the
+      reach-cylinder geometry derived from the leg dimensions;
+   b. per-leg any-foothold reachability, quorum across legs
+      (``eliminateUnreachable`` + ``agregateReachability``,
+      several_leg.cu:633-741).
+
+Orientation convention: the reference's thrust pipeline rotates the *data*
+by q (several_leg.cu:401-411) while its octree/global path un-rotates the
+*query* by q (one_leg_global.cu:119); these conventions are mutually
+inverse.  We use the latter (body orientation = rotation of the body,
+footholds evaluated in the body frame) everywhere, matching the
+orientation layer and the hierarchical solver.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from legmov_tpu.config import PI, PruneConfig
+from legmov_tpu.models.leg import LegDimensions
+from legmov_tpu.ops import quaternion as quat
+from legmov_tpu.ops.collision import any_in_sphere
+from legmov_tpu.ops.positionability import reachable_legs
+
+_f32 = jnp.float32
+
+
+def sweep_orientations(
+    roll: tuple[float, float, int] = (-PI / 8, PI / 8, 3),
+    pitch: tuple[float, float, int] = (-PI / 8, PI / 8, 3),
+    yaw: tuple[float, float, int] = (0.0, PI / 2, 5),
+) -> jnp.ndarray:
+    """``[S, 4]`` quaternion sweep like robot_full_struct's triple loop
+    (several_leg.cu:814-857): extrinsic roll -> pitch -> yaw composition,
+    linear sampling inclusive of both ends."""
+    axes = []
+    for amin, amax, n in (roll, pitch, yaw):
+        axes.append(np.linspace(amin, amax, n))
+    r, p, y = np.meshgrid(*axes, indexing="ij")
+    q = quat.from_rpy(
+        r.ravel().astype(np.float32),
+        p.ravel().astype(np.float32),
+        y.ravel().astype(np.float32),
+    )
+    return jnp.asarray(q)
+
+
+def reach_cylinder_params(leg: LegDimensions):
+    """(radius, plus_z, minus_z) of the leg-reach cylinder.
+
+    Derived from the leg dimensions exactly like eliminateFarAndColliding
+    (several_leg.cu:506-517).
+    """
+    s_p = jnp.sin(leg.coxa_pitch)
+    c_p = jnp.cos(leg.coxa_pitch)
+    radius = leg.body + c_p * leg.coxa_length + leg.femur_length + leg.tibia_length
+    plus_z = (
+        s_p * leg.coxa_length
+        + leg.tibia_length * jnp.sin(leg.tibia_absolute_pos)
+        + leg.femur_length
+        * jnp.sin(jnp.minimum(_f32(PI / 2), leg.max_angle_femur))
+    )
+    minus_z = s_p * leg.coxa_length - leg.femur_length - leg.tibia_length
+    return radius, plus_z, minus_z
+
+
+def _oriented_cylinder_masks(
+    body_pos, q, footholds, radius_in, plus_in, minus_in, prune: PruneConfig
+):
+    """(any target in reach cylinder, any target in collision cylinder) for
+    each body, with both cylinders axis-aligned in the oriented body frame."""
+    rel = quat.inv_rotate(
+        q[None, None, :], footholds[None, :, :] - body_pos[:, None, :]
+    )  # [B, F, 3]
+    horiz = rel[..., 0] * rel[..., 0] + rel[..., 1] * rel[..., 1]
+    dz = rel[..., 2]
+    in_reach = (
+        (horiz < radius_in * radius_in) & (dz < plus_in) & (dz > minus_in)
+    )
+    r_out = _f32(prune.collide_radius)
+    in_coll = (
+        (horiz < r_out * r_out)
+        & (dz < _f32(prune.body_cyl_plus_z))
+        & (dz > _f32(prune.body_cyl_minus_z))
+    )
+    return jnp.any(in_reach, axis=-1), jnp.any(in_coll, axis=-1)
+
+
+@dataclasses.dataclass
+class PipelineResult:
+    """Dense (body candidate x orientation) feasibility."""
+
+    valid: np.ndarray  # [B, S] bool
+    alive: np.ndarray  # [B] bool — survived the orientation-free pruning
+    quats: np.ndarray  # [S, 4]
+
+    def any_orientation(self) -> np.ndarray:
+        return self.valid.any(axis=1)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _pipeline_one_orientation(
+    body_pos, q, footholds, robot, alive, cyl_params, prune_vals, k: int
+):
+    radius_in, plus_in, minus_in = cyl_params
+    collide_r, cyl_plus, cyl_minus = prune_vals
+    prune = PruneConfig(
+        collide_radius=collide_r,
+        body_cyl_plus_z=cyl_plus,
+        body_cyl_minus_z=cyl_minus,
+    )
+    in_reach, in_coll = _oriented_cylinder_masks(
+        body_pos, q, footholds, radius_in, plus_in, minus_in, prune
+    )
+    legs = reachable_legs(body_pos, jnp.broadcast_to(q, (body_pos.shape[0], 4)),
+                          footholds, robot)
+    quorum = jnp.sum(legs, axis=-1) >= k
+    return alive & in_reach & jnp.logical_not(in_coll) & quorum
+
+
+def full_positionability(
+    body_map: np.ndarray,
+    footholds: np.ndarray,
+    robot: LegDimensions,
+    orientations: jnp.ndarray | None = None,
+    prune: PruneConfig = PruneConfig(),
+    k: int | None = None,
+    body_chunk: int = 4096,
+) -> PipelineResult:
+    """Full dense pipeline over ``[B, 3]`` body candidates.
+
+    Returns per-(candidate, orientation) feasibility.  ``k`` defaults to
+    all legs (the reference's min-across-legs AND,
+    several_leg.cu:681-697).
+    """
+    if orientations is None:
+        orientations = sweep_orientations()
+    if k is None:
+        k = int(jax.tree.leaves(robot)[0].shape[0])
+
+    body = jnp.asarray(body_map, jnp.float32)
+    fh = jnp.asarray(footholds, jnp.float32)
+    leg0 = jax.tree.map(lambda x: x[0], robot)
+    cyl_params = reach_cylinder_params(leg0)
+    prune_vals = (
+        _f32(prune.collide_radius),
+        _f32(prune.body_cyl_plus_z),
+        _f32(prune.body_cyl_minus_z),
+    )
+
+    B = body.shape[0]
+    S = orientations.shape[0]
+    valid = np.zeros((B, S), bool)
+    alive_all = np.zeros(B, bool)
+    for s0 in range(0, B, body_chunk):
+        e = min(s0 + body_chunk, B)
+        bp = body[s0:e]
+        # orientation-free pruning (ctor stages, several_leg.cu:413-502)
+        collide = any_in_sphere(bp, fh, prune.collide_radius)
+        near = any_in_sphere(bp, fh, prune.far_radius)
+        alive = jnp.logical_not(collide) & near
+        alive_all[s0:e] = np.asarray(alive)
+        for si in range(S):
+            v = _pipeline_one_orientation(
+                bp, orientations[si], fh, robot, alive, cyl_params,
+                prune_vals, k,
+            )
+            valid[s0:e, si] = np.asarray(v)
+    return PipelineResult(
+        valid=valid, alive=alive_all, quats=np.asarray(orientations)
+    )

@@ -96,10 +96,9 @@ def _finish_finding_closest(x, y, z, ws: LegWorkspace, coxa_angle, cos_a, sin_a)
     return was_valid & jnp.logical_not(coxa_saturated), gx, gy, fz
 
 
-def distance_ws(points: jnp.ndarray, ws: LegWorkspace):
-    """``(reachable [...], displacement [..., 3])`` given a prebuilt workspace."""
-    p = frames.place_over_coxa(points, ws.body, ws.coxa_pitch)
-    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+def distance_xyz(x, y, z, ws: LegWorkspace):
+    """Component-form distance core: ``(reachable, dx, dy, dz)``."""
+    x, y, z = frames.place_over_coxa_xyz(x, y, z, ws.body, ws.coxa_pitch)
 
     coxangle = jnp.arctan2(y, x)
     coxangle_flip = jnp.where(coxangle > 0, coxangle - _PI, coxangle + _PI)
@@ -125,8 +124,16 @@ def distance_ws(points: jnp.ndarray, ws: LegWorkspace):
     ox = jnp.where(use_direct, dx, fx)
     oy = jnp.where(use_direct, dy, fy)
     oz = jnp.where(use_direct, dz, fz)
-    out = frames.unplace_over_coxa(jnp.stack([ox, oy, oz], axis=-1), ws.coxa_pitch)
-    return res | resf, out
+    ox, oy, oz = frames.unplace_over_coxa_xyz(ox, oy, oz, ws.coxa_pitch)
+    return res | resf, ox, oy, oz
+
+
+def distance_ws(points: jnp.ndarray, ws: LegWorkspace):
+    """``(reachable [...], displacement [..., 3])`` given a prebuilt workspace."""
+    ok, ox, oy, oz = distance_xyz(
+        points[..., 0], points[..., 1], points[..., 2], ws
+    )
+    return ok, jnp.stack([ox, oy, oz], axis=-1)
 
 
 def distance(points: jnp.ndarray, leg: LegDimensions):

@@ -11,19 +11,30 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def place_over_coxa_xyz(x, y, z, body, coxa_pitch):
+    """Component form of :func:`place_over_coxa` (one_leg.cu:9-24)."""
+    x = x - body
+    s = jnp.sin(-coxa_pitch)
+    c = jnp.cos(-coxa_pitch)
+    return x * c - z * s, y, x * s + z * c
+
+
 def place_over_coxa(xyz: jnp.ndarray, body, coxa_pitch) -> jnp.ndarray:
     """World -> coxa frame: shift by -body along x, pitch by -coxa_pitch.
 
     Matches reference one_leg.cu:9-24 (forward direction).
     """
-    x = xyz[..., 0] - body
-    y = xyz[..., 1]
-    z = xyz[..., 2]
-    s = jnp.sin(-coxa_pitch)
-    c = jnp.cos(-coxa_pitch)
-    x2 = x * c - z * s
-    z2 = x * s + z * c
-    return jnp.stack([x2, y, z2], axis=-1)
+    x, y, z = place_over_coxa_xyz(
+        xyz[..., 0], xyz[..., 1], xyz[..., 2], body, coxa_pitch
+    )
+    return jnp.stack([x, y, z], axis=-1)
+
+
+def unplace_over_coxa_xyz(x, y, z, coxa_pitch):
+    """Component form of :func:`unplace_over_coxa`."""
+    s = jnp.sin(coxa_pitch)
+    c = jnp.cos(coxa_pitch)
+    return x * c - z * s, y, x * s + z * c
 
 
 def unplace_over_coxa(xyz: jnp.ndarray, coxa_pitch) -> jnp.ndarray:
@@ -33,14 +44,10 @@ def unplace_over_coxa(xyz: jnp.ndarray, coxa_pitch) -> jnp.ndarray:
     pitch rotation is undone; the body shift is not re-applied because the
     quantity being transformed is a displacement, not a position.
     """
-    x = xyz[..., 0]
-    y = xyz[..., 1]
-    z = xyz[..., 2]
-    s = jnp.sin(coxa_pitch)
-    c = jnp.cos(coxa_pitch)
-    x2 = x * c - z * s
-    z2 = x * s + z * c
-    return jnp.stack([x2, y, z2], axis=-1)
+    x, y, z = unplace_over_coxa_xyz(
+        xyz[..., 0], xyz[..., 1], xyz[..., 2], coxa_pitch
+    )
+    return jnp.stack([x, y, z], axis=-1)
 
 
 def coxa_angle_flipped(x, y):

@@ -1,0 +1,413 @@
+"""Pallas TPU kernels for single-leg reachability and distance.
+
+The XLA paths (ops/reachability.py, ops/distance.py) are already dense and
+branch-free, but XLA's fusion still materializes [N, k] intermediates in
+HBM.  These kernels fuse the entire per-point pipeline into one VMEM-
+resident pass: read 12 B/point, compute in registers, write 1 B (or 13 B)
+per point — the HBM-bound speed-of-light layout.
+
+Design: a **factory specialized to one concrete leg** — every workspace
+table entry (models/workspace.py) becomes a Python float baked into the
+kernel as an immediate, exactly like the reference bakes its geometry into
+compile-time ``constexpr`` (settings.h) — and all per-point data stays in
+``[block_rows, 128]`` float32 tiles (the VPU-native layout).  The region
+select logic is restructured so no tile ever grows a trailing slot axis:
+reachability evaluates all four (region x extended) circle tables densely
+and picks the result with three selects; distance builds per-slot scalars
+with three-way select chains.
+
+Numerics match the XLA path bit-for-bit except where noted (same squared
+threshold compares, same fold order).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from legmov_tpu.models.leg import LegDimensions
+from legmov_tpu.models.workspace import build_workspace
+
+_LANES = 128
+_PI = np.float32(math.pi)
+
+
+def _concrete_ws(leg: LegDimensions):
+    """Workspace with every field as a concrete numpy array."""
+    ws = build_workspace(leg)
+    return type(ws)(*[np.asarray(f) for f in ws])
+
+
+def _sel3(upper, ext, t):
+    """3-select pick of scalar table ``t[region][ext]`` per-point."""
+    hi = jnp.where(ext, t[1][1], t[1][0])
+    lo = jnp.where(ext, t[0][1], t[0][0])
+    return jnp.where(upper, hi, lo)
+
+
+def _bsel(c, a, b):
+    """Boolean select on bool tiles (Mosaic cannot lower jnp.where to i1)."""
+    return (c & a) | (~c & b)
+
+
+def _sel3b(upper, ext, t):
+    """_sel3 for boolean tables, via pure boolean algebra."""
+    return _bsel(upper, _bsel(ext, t[1][1], t[1][0]),
+                 _bsel(ext, t[0][1], t[0][0]))
+
+
+def _angle_gt_const(xp, yp, cos_t, sin_t, theta_neg: bool):
+    """Trig-free raw ``atan2(yp, xp) > theta`` with constant threshold.
+
+    Same identity as ops/plane.py ``_angle_gt``.
+    """
+    pos = (yp * cos_t - xp * sin_t) > 0
+    nn = yp >= 0
+    return (nn | pos) if theta_neg else (nn & pos)
+
+
+def _region_bits(xp, yp, ws):
+    """(upper, ext) tiles from constant workspace tables."""
+    mid_neg = bool(ws.mid_neg)
+    upper = _angle_gt_const(
+        xp, yp, float(ws.mid_dir[0]), float(ws.mid_dir[1]), mid_neg
+    )
+    gt_lo = _angle_gt_const(
+        xp, yp, float(ws.sat_dir[0, 0]), float(ws.sat_dir[0, 1]),
+        bool(ws.sat_neg[0]),
+    )
+    gt_up = _angle_gt_const(
+        xp, yp, float(ws.sat_dir[1, 0]), float(ws.sat_dir[1, 1]),
+        bool(ws.sat_neg[1]),
+    )
+    ext = upper ^ _bsel(upper, gt_up, gt_lo)
+    return upper, ext
+
+
+def _coxa_frame(x_ref, y_ref, z_ref, ws):
+    """place_over_coxa + mirrored half-plane bits, all from constants."""
+    body = float(ws.body)
+    pitch = float(ws.coxa_pitch)
+    cp = np.float32(np.cos(np.float32(-pitch)))
+    sp = np.float32(np.sin(np.float32(-pitch)))
+    px = x_ref[...] - body
+    py = y_ref[...]
+    pz = z_ref[...]
+    x = px * cp - pz * sp
+    z = px * sp + pz * cp
+    return x, py, z
+
+
+def make_reachability_kernel(leg: LegDimensions, block_rows: int = 256,
+                             interpret: bool = False):
+    """Jitted ``[N, 3] float32 -> [N] bool`` Pallas evaluator for ``leg``.
+
+    Semantics of ops/reachability.py ``reachability_xyz`` with the leg's
+    workspace baked in as immediates.
+    """
+    ws = _concrete_ws(leg)
+    coxa_length = float(ws.coxa_length)
+    cmax = (float(ws.coxa_max_dir[0]), float(ws.coxa_max_dir[1]))
+    cmin = (float(ws.coxa_min_dir[0]), float(ws.coxa_min_dir[1]))
+    gt_possible = bool(ws.coxa_gt_possible)
+    lt_possible = bool(ws.coxa_lt_possible)
+    # circle tables as python floats [region][ext][slot]
+    tab = {
+        name: [
+            [[float(getattr(ws, name)[r, e, s]) for s in range(4)]
+             for e in range(2)]
+            for r in range(2)
+        ]
+        for name in ("circle_x", "circle_y", "circle_r2", "circle_hi2",
+                     "circle_lo2")
+    }
+    att = [
+        [[bool(ws.circle_attract[r, e, s]) for s in range(4)]
+         for e in range(2)]
+        for r in range(2)
+    ]
+
+    def kernel(x_ref, y_ref, z_ref, o_ref):
+        x, y, z = _coxa_frame(x_ref, y_ref, z_ref, ws)
+        flip = jnp.signbit(x)
+        fx = jnp.where(flip, -x, x)
+        fy = jnp.where(flip, -y, y)
+        coxa_invalid = None
+        if gt_possible:
+            coxa_invalid = (fy * cmax[0] - fx * cmax[1]) > 0
+        if lt_possible:
+            lt = (fy * cmin[0] - fx * cmin[1]) < 0
+            coxa_invalid = lt if coxa_invalid is None else coxa_invalid | lt
+        rho = jnp.sqrt(x * x + y * y)
+        xp = jnp.where(flip, -rho, rho) - coxa_length
+        yp = z
+        upper, ext = _region_bits(xp, yp, ws)
+        # validity of all four (region, ext) configurations, then 3 selects
+        v = [[None, None], [None, None]]
+        for r in range(2):
+            for e in range(2):
+                ok = None
+                for s in range(4):
+                    dx = xp - tab["circle_x"][r][e][s]
+                    dy = yp - tab["circle_y"][r][e][s]
+                    d2 = dx * dx + dy * dy
+                    inside = d2 <= tab["circle_r2"][r][e][s]
+                    near = (d2 < tab["circle_hi2"][r][e][s]) & (
+                        d2 > tab["circle_lo2"][r][e][s]
+                    )
+                    good = (inside if att[r][e][s] else ~inside) | near
+                    ok = good if ok is None else ok & good
+                v[r][e] = ok
+        plane_ok = _sel3b(upper, ext, v)
+        reach = plane_ok if coxa_invalid is None else (
+            ~coxa_invalid & plane_ok
+        )
+        o_ref[...] = reach.astype(jnp.uint8)
+
+    block = block_rows * _LANES
+
+    @jax.jit
+    def fn(points: jnp.ndarray) -> jnp.ndarray:
+        n = points.shape[0]
+        pad = (-n) % block
+        soa = jnp.pad(points, ((0, pad), (0, 0))).T  # [3, n+pad]
+        rows = (n + pad) // _LANES
+        comps = soa.reshape(3, rows, _LANES)
+        grid = rows // block_rows
+        spec = pl.BlockSpec(
+            (block_rows, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((rows, _LANES), jnp.uint8),
+            grid=(grid,),
+            in_specs=[spec, spec, spec],
+            out_specs=spec,
+            interpret=interpret,
+        )(comps[0], comps[1], comps[2])
+        return out.reshape(-1)[:n].astype(bool)
+
+    return fn
+
+
+def make_distance_kernel(leg: LegDimensions, block_rows: int = 128,
+                         interpret: bool = False):
+    """Jitted ``[N, 3] -> ([N] bool, [N, 3])`` Pallas distance evaluator.
+
+    Semantics of ops/distance.py ``distance_xyz`` (incl. the pi-flip dual
+    evaluation, coxa saturation and the limit-plane alternative) with the
+    leg workspace baked in.
+    """
+    ws = _concrete_ws(leg)
+    coxa_length = float(ws.coxa_length)
+    max_a = float(ws.max_angle_coxa)
+    min_a = float(ws.min_angle_coxa)
+    cmax = (float(ws.coxa_max_dir[0]), float(ws.coxa_max_dir[1]))
+    cmin = (float(ws.coxa_min_dir[0]), float(ws.coxa_min_dir[1]))
+    half_pi = float(_PI) / 2.0
+    mid_coxa = (max_a + min_a) / 2.0
+    pitch = float(ws.coxa_pitch)
+    cp_inv = np.float32(np.cos(np.float32(pitch)))
+    sp_inv = np.float32(np.sin(np.float32(pitch)))
+    margin = np.float32(0.001)
+    big = np.float32(3.4e38)
+
+    tabs = {
+        name: [
+            [[float(getattr(ws, name)[r, e, s]) for s in range(4)]
+             for e in range(2)]
+            for r in range(2)
+        ]
+        for name in ("circle_x", "circle_y", "circle_r", "circle_r2",
+                     "circle_hi2", "circle_lo2")
+    }
+    att = [
+        [[bool(ws.circle_attract[r, e, s]) for s in range(4)]
+         for e in range(2)]
+        for r in range(2)
+    ]
+    corners = [
+        (float(ws.corner_xy[j, 0]), float(ws.corner_xy[j, 1]),
+         bool(ws.corner_valid[j]))
+        for j in range(ws.corner_xy.shape[0])
+    ]
+
+    def plane_clamp_tiles(xp, yp):
+        """ops/plane.py plane_clamp with select-chain scalar tables."""
+        upper, ext = _region_bits(xp, yp, ws)
+
+        def pick(name, s):
+            t = tabs[name]
+            return _sel3(upper, ext, [[t[0][0][s], t[0][1][s]],
+                                      [t[1][0][s], t[1][1][s]]])
+
+        def pick_att(s):
+            # constant-bool table select as boolean algebra on the bits
+            ones = xp == xp
+            zeros = ~ones
+            a = [[ones if att[r][e][s] else zeros for e in range(2)]
+                 for r in range(2)]
+            return _sel3b(upper, ext, a)
+
+        cxs = [pick("circle_x", s) for s in range(4)]
+        cys = [pick("circle_y", s) for s in range(4)]
+        rs = [pick("circle_r", s) for s in range(4)]
+        r2s = [pick("circle_r2", s) for s in range(4)]
+        hi2s = [pick("circle_hi2", s) for s in range(4)]
+        lo2s = [pick("circle_lo2", s) for s in range(4)]
+        atts = [pick_att(s) for s in range(4)]
+
+        def circ_valid(px, py, s):
+            dx = px - cxs[s]
+            dy = py - cys[s]
+            d2 = dx * dx + dy * dy
+            inside = d2 <= r2s[s]
+            near = (d2 < hi2s[s]) & (d2 > lo2s[s])
+            return (inside == atts[s]) | near
+
+        overall = None
+        clamps = []
+        scores = []
+        for s in range(4):
+            dx = xp - cxs[s]
+            dy = yp - cys[s]
+            d2 = dx * dx + dy * dy
+            inside = d2 <= r2s[s]
+            near = (d2 < hi2s[s]) & (d2 > lo2s[s])
+            valid = (inside == atts[s]) | near
+            overall = valid if overall is None else overall & valid
+            mag = jnp.sqrt(d2)
+            deg = mag < margin
+            scale = rs[s] / jnp.where(deg, np.float32(1.0), mag)
+            clamps.append(
+                (cxs[s] + jnp.where(deg, np.float32(1.0), dx) * scale,
+                 cys[s] + jnp.where(deg, np.float32(0.0), dy) * scale)
+            )
+            scores.append((rs[s] - mag) * (rs[s] - mag))
+        best_s2 = jnp.full_like(xp, big)
+        best_x = jnp.zeros_like(xp)
+        best_y = jnp.zeros_like(xp)
+        for s in range(4):
+            cx, cy = clamps[s]
+            ok = None
+            for t in range(4):
+                good = circ_valid(cx, cy, t)
+                ok = good if ok is None else ok & good
+            s2 = jnp.where(ok, scores[s], big)
+            take = s2 < best_s2
+            best_s2 = jnp.where(take, s2, best_s2)
+            best_x = jnp.where(take, cx, best_x)
+            best_y = jnp.where(take, cy, best_y)
+        invalid = ~overall
+        for (pcx, pcy, pok) in corners:
+            if not pok:
+                continue
+            cdx = xp - pcx
+            cdy = yp - pcy
+            s2 = jnp.where(invalid, cdx * cdx + cdy * cdy, big)
+            take = s2 < best_s2
+            best_s2 = jnp.where(take, s2, best_s2)
+            best_x = jnp.where(take, jnp.full_like(xp, pcx), best_x)
+            best_y = jnp.where(take, jnp.full_like(xp, pcy), best_y)
+        found = best_s2 < big
+        out_x = xp - jnp.where(found, best_x, np.float32(0.0))
+        out_y = yp - jnp.where(found, best_y, np.float32(0.0))
+        return overall, out_x, out_y
+
+    def finish(x, y, z, a, cos_a, sin_a):
+        """ops/distance.py _finish_finding_closest with constants."""
+        mega = (a > max_a + half_pi) | (a < min_a - half_pi)
+        over = a > max_a
+        under = a < min_a
+        saturated = mega | over | under
+        c1 = jnp.where(
+            mega, -cos_a,
+            jnp.where(over, cmax[0], jnp.where(under, cmin[0], cos_a)),
+        )
+        s1 = jnp.where(
+            mega, -sin_a,
+            jnp.where(over, cmax[1], jnp.where(under, cmin[1], sin_a)),
+        )
+        xr = x * c1 + y * s1
+        yr = -x * s1 + y * c1
+        was_valid, dxp, dzp = plane_clamp_tiles(xr - coxa_length, z)
+        use_max = a > mid_coxa
+        cl = jnp.where(use_max, cmax[0], cmin[0])
+        sl = jnp.where(use_max, cmax[1], cmin[1])
+        c2 = cl * c1 + sl * s1
+        s2 = sl * c1 - cl * s1
+        ys = -xr * s2 + yr * c2
+        d2c = dxp * dxp + yr * yr + dzp * dzp
+        better = was_valid & ~mega & (d2c > ys * ys)
+        rx = -ys * s2
+        ry = ys * c2
+        fx = jnp.where(better, rx, dxp)
+        fy = jnp.where(better, ry, yr)
+        fz = jnp.where(better, np.float32(0.0), dzp)
+        gx = fx * c1 - fy * s1
+        gy = fx * s1 + fy * c1
+        return was_valid & ~saturated, gx, gy, fz
+
+    def kernel(x_ref, y_ref, z_ref, ok_ref, dx_ref, dy_ref, dz_ref):
+        x, y, z = _coxa_frame(x_ref, y_ref, z_ref, ws)
+        a = jnp.arctan2(y, x)
+        a_flip = jnp.where(a > 0, a - _PI, a + _PI)
+        rho = jnp.sqrt(x * x + y * y)
+        on_axis = rho == 0
+        inv = jnp.where(on_axis, np.float32(1.0), rho)
+        cos_a = jnp.where(on_axis, np.float32(1.0), x / inv)
+        sin_a = jnp.where(on_axis, np.float32(0.0), y / inv)
+        res, dx, dy, dz = finish(x, y, z, a, cos_a, sin_a)
+        resf, fx, fy, fz = finish(x, y, z, a_flip, -cos_a, -sin_a)
+        d2d = dx * dx + dy * dy + dz * dz
+        d2f = fx * fx + fy * fy + fz * fz
+        use_d = _bsel(res == resf, d2d < d2f, res)
+        ox = jnp.where(use_d, dx, fx)
+        oy = jnp.where(use_d, dy, fy)
+        oz = jnp.where(use_d, dz, fz)
+        wx = ox * cp_inv - oz * sp_inv
+        wz = ox * sp_inv + oz * cp_inv
+        ok_ref[...] = (res | resf).astype(jnp.uint8)
+        dx_ref[...] = wx
+        dy_ref[...] = oy
+        dz_ref[...] = wz
+
+    block = block_rows * _LANES
+
+    @jax.jit
+    def fn(points: jnp.ndarray):
+        n = points.shape[0]
+        pad = (-n) % block
+        soa = jnp.pad(points, ((0, pad), (0, 0))).T
+        rows = (n + pad) // _LANES
+        comps = soa.reshape(3, rows, _LANES)
+        grid = rows // block_rows
+        spec = pl.BlockSpec(
+            (block_rows, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        f32s = jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)
+        ok, dx, dy, dz = pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((rows, _LANES), jnp.uint8),
+                f32s, f32s, f32s,
+            ),
+            grid=(grid,),
+            in_specs=[spec, spec, spec],
+            out_specs=(spec, spec, spec, spec),
+            interpret=interpret,
+        )(comps[0], comps[1], comps[2])
+        ok = ok.reshape(-1)[:n].astype(bool)
+        vec = jnp.stack(
+            [dx.reshape(-1)[:n], dy.reshape(-1)[:n], dz.reshape(-1)[:n]],
+            axis=-1,
+        )
+        return ok, vec
+
+    return fn

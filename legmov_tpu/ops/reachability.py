@@ -18,16 +18,15 @@ from legmov_tpu.ops import frames
 from legmov_tpu.ops.plane import plane_validate
 
 
-def reachability_ws(points: jnp.ndarray, ws: LegWorkspace) -> jnp.ndarray:
-    """Reachability booleans for ``points [..., 3]`` given a prebuilt workspace.
+def reachability_xyz(x, y, z, ws: LegWorkspace) -> jnp.ndarray:
+    """Component-form reachability core (world coordinates in, bool out).
 
     Fully trig-free per point: the reference's ``atan2`` + ``sincos`` chain
     (one_leg.cu:288-315) collapses to one ``sqrt`` plus cross-product sign
     tests against precomputed limit directions, because rotating a point
     into its own coxa plane just replaces (x, y) by its radius.
     """
-    p = frames.place_over_coxa(points, ws.body, ws.coxa_pitch)
-    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    x, y, z = frames.place_over_coxa_xyz(x, y, z, ws.body, ws.coxa_pitch)
 
     # required coxa yaw, computed on the mirrored half-plane when x < 0
     # (one_leg.cu:288-303): angle = atan2(fy, fx) in (-pi/2, pi/2].  The
@@ -50,6 +49,13 @@ def reachability_ws(points: jnp.ndarray, ws: LegWorkspace) -> jnp.ndarray:
     xr = jnp.where(flip, -rho, rho)
     reach = plane_validate(xr - ws.coxa_length, z, ws)
     return jnp.logical_not(coxa_invalid) & reach
+
+
+def reachability_ws(points: jnp.ndarray, ws: LegWorkspace) -> jnp.ndarray:
+    """Reachability booleans for ``points [..., 3]`` given a prebuilt workspace."""
+    return reachability_xyz(
+        points[..., 0], points[..., 1], points[..., 2], ws
+    )
 
 
 def reachability(points: jnp.ndarray, leg: LegDimensions) -> jnp.ndarray:

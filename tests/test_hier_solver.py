@@ -71,6 +71,38 @@ class TestHierSolver:
         res = solve_positionability(fh, robot, SMALL_CFG, chunk=32, cell_batch=64)
         assert not res.valid.any()
 
+    def test_per_leg_mode_is_weaker_criterion(self):
+        """per-leg foothold mode must accept at least every cell the
+        shared-foothold mode accepts (any shared foothold satisfying k legs
+        also gives each of those k legs its own foothold)."""
+        robot = get_moonbot_robot()
+        fh = ring_footholds()
+        cfg = SMALL_CFG
+        shared = solve_positionability(
+            fh, robot, cfg, chunk=32, cell_batch=64, shared_foothold=True
+        )
+        per_leg = solve_positionability(
+            fh, robot, cfg, chunk=32, cell_batch=64, shared_foothold=False
+        )
+        assert per_leg.valid.sum() >= shared.valid.sum()
+
+    def test_per_leg_quorum_full_quad(self):
+        """With k=4 and a surrounding ring, per-leg mode finds stances the
+        shared mode cannot (no single foothold is reachable by 4 legs)."""
+        robot = get_moonbot_robot()
+        fh = ring_footholds(radius=300.0, n=48, z=-100.0)
+        cfg = SolverConfig(
+            box_center=(0.0, 0.0, 0.0),
+            box_size=(400.0, 400.0, 200.0),
+            min_box=(50.0, 50.0, 50.0),
+            max_depth=2,
+            legs_for_stability=4,
+        )
+        per_leg = solve_positionability(
+            fh, robot, cfg, chunk=32, cell_batch=64, shared_foothold=False
+        )
+        assert per_leg.valid.any()
+
     def test_refinement_increases_resolution(self):
         robot = get_moonbot_robot()
         fh = ring_footholds()

@@ -1,0 +1,81 @@
+"""Dense body x orientation pipeline tests (multi_rot_estimator semantics)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from legmov_tpu.config import PruneConfig
+from legmov_tpu.models.pipeline import (
+    full_positionability,
+    reach_cylinder_params,
+    sweep_orientations,
+)
+from legmov_tpu.models.robot import get_moonbot_robot
+from legmov_tpu.terrain import flat_grid
+
+
+def test_sweep_shape_and_identity():
+    q = sweep_orientations((0, 0, 1), (0, 0, 1), (0, 0, 1))
+    assert q.shape == (1, 4)
+    np.testing.assert_allclose(np.asarray(q)[0], [1, 0, 0, 0], atol=1e-7)
+    q = sweep_orientations()
+    assert q.shape == (45, 4)  # 3 x 3 x 5 like several_leg.cu:814-857
+
+
+def test_reach_cylinder_params():
+    import jax
+
+    robot = get_moonbot_robot()
+    leg0 = jax.tree.map(lambda x: x[0], robot)
+    r, plus, minus = reach_cylinder_params(leg0)
+    # moonbot: body 181 + coxa 65.5 + femur 129 + tibia 160 (coxa_pitch 0)
+    assert float(r) == np.float32(181 + 65.5 + 129 + 160)
+    assert float(minus) == np.float32(-289.0)  # -femur - tibia
+    assert float(plus) < float(r)
+
+
+def test_flat_grid_stance():
+    robot = get_moonbot_robot()
+    fh = flat_grid((-600, 601), (-600, 601), 100.0, z=-120.0)
+    body = np.zeros((1, 3), np.float32)
+    res = full_positionability(
+        body, fh, robot,
+        orientations=sweep_orientations((0, 0, 1), (0, 0, 1), (0, 0, 1)),
+        k=4,
+    )
+    assert res.valid[0, 0]
+    assert res.alive[0]
+
+
+def test_colliding_body_pruned():
+    robot = get_moonbot_robot()
+    # a foothold right at the body center -> always-colliding sphere fires
+    fh = np.array([[10.0, 0.0, 0.0], [400.0, 0.0, -120.0]], np.float32)
+    body = np.zeros((1, 3), np.float32)
+    res = full_positionability(body, fh, robot, k=1)
+    assert not res.alive[0]
+    assert not res.valid.any()
+
+
+def test_far_body_pruned():
+    robot = get_moonbot_robot()
+    fh = flat_grid((-600, 601), (-600, 601), 100.0, z=-120.0)
+    body = np.array([[5000.0, 0.0, 0.0]], np.float32)
+    res = full_positionability(body, fh, robot, k=4)
+    assert not res.alive[0]
+    assert not res.valid.any()
+
+
+def test_orientation_sweep_superset():
+    """A pose valid at identity stays valid for some orientation in the
+    sweep (identity-adjacent samples exist)."""
+    robot = get_moonbot_robot()
+    fh = flat_grid((-600, 601), (-600, 601), 100.0, z=-120.0)
+    body = np.zeros((1, 3), np.float32)
+    ident = full_positionability(
+        body, fh, robot,
+        orientations=sweep_orientations((0, 0, 1), (0, 0, 1), (0, 0, 1)),
+        k=4,
+    )
+    sweep = full_positionability(body, fh, robot, k=4)
+    if ident.valid.any():
+        assert sweep.any_orientation()[0]
