@@ -1,0 +1,141 @@
+"""Uniform bucket-grid foothold pruning for map-scale positionability.
+
+TPU-native replacement for the reference's octree-with-dynamic-parallelism
+spatial decomposition (several_leg_octree.cu, octree_util.cu) along the
+lines mandated by BASELINE.json: footholds are binned once into a uniform
+grid whose cell edge >= the robot's total leg reach, so a body pose can
+only ever grab footholds from its own cell and the 26 neighbors.  Instead
+of pointer-chasing a tree, every cell is a fixed-capacity, contiguous
+``[cap, 3]`` row of a dense ``[n_cells, cap, 3]`` table (sentinel-padded),
+and the per-pose candidate set is 27 contiguous-row gathers — each row is
+one large sequential DMA, which is why plain linear cell indexing performs
+like Morton ordering here (the locality win of Morton codes matters for
+point-granularity access, not for 10-100 KB row gathers).
+
+For a P-pose sweep over an F-point map this prunes the (P x F) product to
+(P x 27 x cap), a ~F / (27 cap) fold reduction — the same ~99% pruning the
+reference gets from its octree early-outs (several_leg_octree.cu:76-82),
+with zero divergence and static shapes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from legmov_tpu.models.leg import LegDimensions
+from legmov_tpu.ops.orientation import reachability_oriented
+from legmov_tpu.ops.quaternion import IDENTITY
+
+_SENTINEL = np.float32(1e9)
+
+
+class FootholdGrid(NamedTuple):
+    """Bucketed foothold table (device arrays + static geometry)."""
+
+    points: jnp.ndarray  # [n_cells, cap, 3], sentinel-padded
+    counts: jnp.ndarray  # [n_cells] int32
+    origin: jnp.ndarray  # [3] f32
+    cell_size: float  # static
+    dims: tuple[int, int, int]  # static
+
+
+def build_grid(footholds: np.ndarray, cell_size: float) -> FootholdGrid:
+    """Bin ``[F, 3]`` footholds into a uniform grid (host-side, once).
+
+    ``cell_size`` must be >= the robot's total leg reach for 3x3x3
+    neighborhood completeness (see :func:`cell_size_for`).
+    """
+    fh = np.asarray(footholds, np.float32)
+    if fh.shape[0] == 0:
+        return FootholdGrid(
+            points=jnp.full((1, 1, 3), _SENTINEL),
+            counts=jnp.zeros(1, jnp.int32),
+            origin=jnp.zeros(3, jnp.float32),
+            cell_size=float(cell_size),
+            dims=(1, 1, 1),
+        )
+    from legmov_tpu import native
+
+    origin = fh.min(axis=0)
+    idx = np.floor((fh - origin) / cell_size).astype(np.int64)
+    dims = tuple(int(d) + 1 for d in idx.max(axis=0))
+    # native OpenMP two-pass scatter when built; NumPy sort-scatter fallback
+    table, counts = native.bucket_grid(fh, origin, cell_size, dims, _SENTINEL)
+    return FootholdGrid(
+        points=jnp.asarray(table),
+        counts=jnp.asarray(counts),
+        origin=jnp.asarray(origin),
+        cell_size=float(cell_size),
+        dims=dims,
+    )
+
+
+def cell_size_for(robot: LegDimensions) -> float:
+    """Smallest safe cell edge: the robot's maximum foothold distance."""
+    return float(
+        np.max(
+            np.asarray(robot.body)
+            + np.asarray(robot.coxa_length)
+            + np.asarray(robot.femur_length)
+            + np.asarray(robot.tibia_length)
+        )
+    )
+
+
+@partial(jax.jit, static_argnames=("k",))
+def grid_reachable_legs(
+    body_pos: jnp.ndarray,  # [P, 3]
+    body_quat: jnp.ndarray,  # [P, 4]
+    grid: FootholdGrid,
+    robot: LegDimensions,
+    k: int = 0,
+):
+    """``([P, L] legs-with-foothold, [P] quorum)`` using grid pruning.
+
+    Loops the 27 neighbor offsets with a scan; each step gathers one
+    contiguous candidate row per pose and ORs per-leg reachability into the
+    accumulator — the bucketed equivalent of ops/positionability.py
+    ``reachable_legs``.
+    """
+    P = body_pos.shape[0]
+    L = int(jax.tree.leaves(robot)[0].shape[0])
+    nx, ny, nz = grid.dims
+    cs = jnp.float32(grid.cell_size)
+    base = jnp.floor((body_pos - grid.origin) / cs).astype(jnp.int32)
+
+    offsets = jnp.asarray(
+        [(i, j, l) for i in (-1, 0, 1) for j in (-1, 0, 1) for l in (-1, 0, 1)],
+        jnp.int32,
+    )  # [27, 3]
+
+    def per_offset(acc, off):
+        cell = base + off  # [P, 3]
+        in_range = jnp.all(
+            (cell >= 0) & (cell < jnp.asarray([nx, ny, nz], jnp.int32)),
+            axis=-1,
+        )
+        cell = jnp.clip(cell, 0, jnp.asarray([nx - 1, ny - 1, nz - 1]))
+        flat = (cell[:, 0] * ny + cell[:, 1]) * nz + cell[:, 2]  # [P]
+        cand = grid.points[flat]  # [P, cap, 3] contiguous-row gather
+        rel = cand - body_pos[:, None, :]
+
+        def per_pose(rel_p, q):
+            def per_leg(leg):
+                # sentinel rows are ~1e9 away -> never reachable
+                return jnp.any(reachability_oriented(rel_p, leg, q))
+
+            return jax.vmap(per_leg)(robot)  # [L]
+
+        got = jax.vmap(per_pose)(rel, body_quat)  # [P, L]
+        got = got & in_range[:, None]
+        return acc | got, None
+
+    acc0 = jnp.zeros((P, L), bool)
+    legs, _ = jax.lax.scan(per_offset, acc0, offsets)
+    quorum = jnp.sum(legs, axis=-1) >= jnp.int32(k if k else L)
+    return legs, quorum

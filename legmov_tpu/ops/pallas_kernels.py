@@ -320,11 +320,41 @@ def make_distance_kernel(leg: LegDimensions, block_rows: int = 128,
         out_y = yp - jnp.where(found, best_y, np.float32(0.0))
         return overall, out_x, out_y
 
-    def finish(x, y, z, a, cos_a, sin_a):
-        """ops/distance.py _finish_finding_closest with constants."""
-        mega = (a > max_a + half_pi) | (a < min_a - half_pi)
-        over = a > max_a
-        under = a < min_a
+    # threshold directions for the trig-free angle comparisons: Pallas TPU
+    # has no atan2 lowering, so every "raw angle vs constant" comparison of
+    # ops/distance.py becomes a cross-product sign test against these.
+    def _dir(theta):
+        t = np.float32(theta)
+        return (float(np.cos(t)), float(np.sin(t)), bool(t < 0))
+
+    d_mega_hi = _dir(max_a + half_pi)
+    d_mega_lo = _dir(min_a - half_pi)
+    d_max = _dir(max_a)
+    d_min = _dir(min_a)
+    d_mid = _dir(mid_coxa)
+
+    def _agt(ax, ay, d):
+        return _angle_gt_const(ax, ay, d[0], d[1], d[2])
+
+    def _alt(ax, ay, d):
+        """Raw ``atan2(ay, ax) < theta`` (strict); mirror of _angle_gt_const:
+        theta < 0 -> only y < 0 can satisfy it, cross test safe there;
+        theta >= 0 -> y < 0 always satisfies, else cross test."""
+        neg = (ay * d[0] - ax * d[1]) < 0
+        below = ay < 0
+        return (below & neg) if d[2] else (below | neg)
+
+    def finish(x, y, z, cos_a, sin_a, flipped):
+        """ops/distance.py _finish_finding_closest with constants.
+
+        ``flipped`` selects the pi-flip branch: its raw angle is the angle
+        of direction (-x, -y) (identical to the reference's a -+ pi away
+        from the y = +-0 branch cut).
+        """
+        ax, ay = (-x, -y) if flipped else (x, y)
+        mega = _agt(ax, ay, d_mega_hi) | _alt(ax, ay, d_mega_lo)
+        over = _agt(ax, ay, d_max)
+        under = _alt(ax, ay, d_min)
         saturated = mega | over | under
         c1 = jnp.where(
             mega, -cos_a,
@@ -337,7 +367,7 @@ def make_distance_kernel(leg: LegDimensions, block_rows: int = 128,
         xr = x * c1 + y * s1
         yr = -x * s1 + y * c1
         was_valid, dxp, dzp = plane_clamp_tiles(xr - coxa_length, z)
-        use_max = a > mid_coxa
+        use_max = _agt(ax, ay, d_mid)
         cl = jnp.where(use_max, cmax[0], cmin[0])
         sl = jnp.where(use_max, cmax[1], cmin[1])
         c2 = cl * c1 + sl * s1
@@ -356,15 +386,13 @@ def make_distance_kernel(leg: LegDimensions, block_rows: int = 128,
 
     def kernel(x_ref, y_ref, z_ref, ok_ref, dx_ref, dy_ref, dz_ref):
         x, y, z = _coxa_frame(x_ref, y_ref, z_ref, ws)
-        a = jnp.arctan2(y, x)
-        a_flip = jnp.where(a > 0, a - _PI, a + _PI)
         rho = jnp.sqrt(x * x + y * y)
         on_axis = rho == 0
         inv = jnp.where(on_axis, np.float32(1.0), rho)
         cos_a = jnp.where(on_axis, np.float32(1.0), x / inv)
         sin_a = jnp.where(on_axis, np.float32(0.0), y / inv)
-        res, dx, dy, dz = finish(x, y, z, a, cos_a, sin_a)
-        resf, fx, fy, fz = finish(x, y, z, a_flip, -cos_a, -sin_a)
+        res, dx, dy, dz = finish(x, y, z, cos_a, sin_a, False)
+        resf, fx, fy, fz = finish(x, y, z, -cos_a, -sin_a, True)
         d2d = dx * dx + dy * dy + dz * dz
         d2f = fx * fx + fy * fy + fz * fz
         use_d = _bsel(res == resf, d2d < d2f, res)

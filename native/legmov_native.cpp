@@ -1,0 +1,119 @@
+// legmov_native — native host runtime for legmov_tpu.
+//
+// The reference keeps its host runtime in C++ (math_util.cpp binary IO,
+// cross_compiled.cu host bridge, octree_util.cu host tree machinery).  The
+// TPU framework's host-side hot paths live here: parallel bucket-grid
+// construction for 10M+ point terrain maps (the data-loader feeding
+// ops/grid.py) and AoS<->SoA layout conversion for the .bin protocol.
+// Exposed as a plain C ABI consumed via ctypes (legmov_tpu/native.py).
+//
+// Build: make -C native   (g++ -O3 -fopenmp -shared -fPIC)
+
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+
+#if defined(_OPENMP)
+#include <omp.h>
+#endif
+
+extern "C" {
+
+// Bin pts[n,3] into a dense grid table[n_cells, cap, 3] (sentinel-padded)
+// + counts[n_cells].  Two-pass: atomic count, then atomic-slot scatter.
+// Grid geometry: cell index = floor((p - origin) / cell), dims = (nx,ny,nz),
+// flat = (ix*ny + iy)*nz + iz — identical to ops/grid.py build_grid.
+// Returns 0 on success, -1 if any point falls outside dims.
+int bucket_grid(const float* pts, int64_t n, const float* origin, float cell,
+                const int64_t* dims, float* table, int32_t* counts,
+                int64_t cap, float sentinel) {
+    const int64_t nx = dims[0], ny = dims[1], nz = dims[2];
+    const int64_t n_cells = nx * ny * nz;
+    std::atomic<int32_t>* slots =
+        reinterpret_cast<std::atomic<int32_t>*>(counts);
+    for (int64_t c = 0; c < n_cells; c++) counts[c] = 0;
+
+    const int64_t table_len = n_cells * cap * 3;
+#pragma omp parallel for
+    for (int64_t i = 0; i < table_len; i++) table[i] = sentinel;
+
+    std::atomic<int> bad(0);
+#pragma omp parallel for
+    for (int64_t i = 0; i < n; i++) {
+        const float* p = pts + i * 3;
+        int64_t ix = (int64_t)std::floor((p[0] - origin[0]) / cell);
+        int64_t iy = (int64_t)std::floor((p[1] - origin[1]) / cell);
+        int64_t iz = (int64_t)std::floor((p[2] - origin[2]) / cell);
+        if (ix < 0 || iy < 0 || iz < 0 || ix >= nx || iy >= ny || iz >= nz) {
+            bad.store(1, std::memory_order_relaxed);
+            continue;
+        }
+        int64_t flat = (ix * ny + iy) * nz + iz;
+        int32_t slot = slots[flat].fetch_add(1, std::memory_order_relaxed);
+        if (slot < cap) {
+            float* dst = table + (flat * cap + slot) * 3;
+            dst[0] = p[0];
+            dst[1] = p[1];
+            dst[2] = p[2];
+        }
+    }
+    return bad.load() ? -1 : 0;
+}
+
+// Max points in any cell for the given geometry (to size `cap`).
+int64_t bucket_max_count(const float* pts, int64_t n, const float* origin,
+                         float cell, const int64_t* dims, int32_t* counts) {
+    const int64_t nx = dims[0], ny = dims[1], nz = dims[2];
+    const int64_t n_cells = nx * ny * nz;
+    std::atomic<int32_t>* slots =
+        reinterpret_cast<std::atomic<int32_t>*>(counts);
+    for (int64_t c = 0; c < n_cells; c++) counts[c] = 0;
+#pragma omp parallel for
+    for (int64_t i = 0; i < n; i++) {
+        const float* p = pts + i * 3;
+        int64_t ix = (int64_t)std::floor((p[0] - origin[0]) / cell);
+        int64_t iy = (int64_t)std::floor((p[1] - origin[1]) / cell);
+        int64_t iz = (int64_t)std::floor((p[2] - origin[2]) / cell);
+        if (ix < 0 || iy < 0 || iz < 0 || ix >= nx || iy >= ny || iz >= nz)
+            continue;
+        int64_t flat = (ix * ny + iy) * nz + iz;
+        slots[flat].fetch_add(1, std::memory_order_relaxed);
+    }
+    int64_t mx = 0;
+    for (int64_t c = 0; c < n_cells; c++)
+        if (counts[c] > mx) mx = counts[c];
+    return mx;
+}
+
+// [n,3] AoS -> 3x[n] SoA (the .bin component-file layout,
+// math_util.cpp:130-170 savef3Arrayto3files).
+void aos_to_soa(const float* aos, int64_t n, float* x, float* y, float* z) {
+#pragma omp parallel for
+    for (int64_t i = 0; i < n; i++) {
+        x[i] = aos[i * 3 + 0];
+        y[i] = aos[i * 3 + 1];
+        z[i] = aos[i * 3 + 2];
+    }
+}
+
+// 3x[n] SoA -> [n,3] AoS (math_util.cpp:106-128 threeArrays2float3Arr).
+void soa_to_aos(const float* x, const float* y, const float* z, int64_t n,
+                float* aos) {
+#pragma omp parallel for
+    for (int64_t i = 0; i < n; i++) {
+        aos[i * 3 + 0] = x[i];
+        aos[i * 3 + 1] = y[i];
+        aos[i * 3 + 2] = z[i];
+    }
+}
+
+int num_threads() {
+#if defined(_OPENMP)
+    return omp_get_max_threads();
+#else
+    return 1;
+#endif
+}
+
+}  // extern "C"
