@@ -94,6 +94,9 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=8,
                     help="chained evaluations per timing sample")
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--impl", choices=("auto", "pallas", "xla"), default="auto",
+                    help="auto tries the fused Pallas kernels, falling back "
+                    "to the XLA path on any compile/lowering failure")
     args = ap.parse_args()
 
     from legmov_tpu import get_m2_leg
@@ -112,13 +115,49 @@ def main() -> None:
 
     pts = jax.device_put(make_grid(args.points), dev)
     n_reach = pts.shape[0]
-    t_reach = chained_timer(reach_scalar, pts, leg, args.iters, args.reps)
-    reach_ns = t_reach / n_reach * 1e9
-
     pts_d = jax.device_put(make_grid(args.dist_points), dev)
     n_dist = pts_d.shape[0]
-    t_dist = chained_timer(dist_scalar, pts_d, leg, args.iters, args.reps)
-    dist_ns = t_dist / n_dist * 1e9
+
+    impl = args.impl
+    reach_ns = dist_ns = None
+    if impl in ("auto", "pallas"):
+        try:
+            from legmov_tpu.ops.pallas_kernels import (
+                make_distance_kernel,
+                make_reachability_kernel,
+            )
+
+            kr = make_reachability_kernel(get_m2_leg())
+            kd = make_distance_kernel(get_m2_leg())
+
+            def reach_scalar_p(p, _leg):
+                return jnp.sum(kr(p).astype(jnp.float32))
+
+            def dist_scalar_p(p, _leg):
+                ok, vec = kd(p)
+                return jnp.sum(vec[:, 0]) + jnp.sum(ok.astype(jnp.float32))
+
+            t_reach = chained_timer(reach_scalar_p, pts, leg, args.iters,
+                                    args.reps)
+            reach_ns = t_reach / n_reach * 1e9
+            t_dist = chained_timer(dist_scalar_p, pts_d, leg, args.iters,
+                                   args.reps)
+            dist_ns = t_dist / n_dist * 1e9
+            impl = "pallas"
+        except Exception as e:
+            if args.impl == "pallas":
+                raise
+            print(f"# pallas path failed ({type(e).__name__}), "
+                  "falling back to XLA", flush=True)
+            impl = "xla"
+            reach_ns = dist_ns = None
+
+    if reach_ns is None:
+        t_reach = chained_timer(reach_scalar, pts, leg, args.iters, args.reps)
+        reach_ns = t_reach / n_reach * 1e9
+        t_dist = chained_timer(dist_scalar, pts_d, leg, args.iters, args.reps)
+        dist_ns = t_dist / n_dist * 1e9
+        impl = "xla"
 
     result = {
         "metric": "reachability_throughput",
@@ -131,6 +170,7 @@ def main() -> None:
         "distance_vs_baseline": round(BASE_DIST_NS / dist_ns, 4),
         "points_reach": n_reach,
         "points_dist": n_dist,
+        "impl": impl,
         "device": str(dev.platform),
     }
     print(json.dumps(result))
