@@ -133,6 +133,40 @@ def make_reachability_kernel(leg: LegDimensions, block_rows: int = 256,
         for r in range(2)
     ]
 
+    # The 16 (region, ext, slot) table entries reference only ~6 distinct
+    # circles (inner/outer/fromabove+-/winglet+-); deduplicate them and
+    # evaluate each once via the expanded linear form
+    #   d2 = (q - 2 cx xp - 2 cy yp) + (cx^2 + cy^2),  q = xp^2 + yp^2
+    # so each unique circle costs 2 FMAs + 3 compares against thresholds
+    # with the center norm pre-folded in (within ~1 ulp of the direct
+    # (x-cx)^2 + (y-cy)^2 form — same decision-boundary shell as fp32
+    # rounding itself, far inside CIRCLE_MARGIN).
+    uniq: dict[tuple, int] = {}
+    uniq_params: list[tuple] = []
+    slot_map = [[[None] * 4 for _ in range(2)] for _ in range(2)]
+    for r in range(2):
+        for e in range(2):
+            for s in range(4):
+                key = (tab["circle_x"][r][e][s], tab["circle_y"][r][e][s],
+                       tab["circle_r2"][r][e][s])
+                if key not in uniq:
+                    cx, cy, _ = key
+                    k = np.float32(
+                        np.float32(cx) * np.float32(cx)
+                        + np.float32(cy) * np.float32(cy)
+                    )
+                    uniq[key] = len(uniq_params)
+                    uniq_params.append(
+                        (
+                            np.float32(-2.0 * cx),
+                            np.float32(-2.0 * cy),
+                            np.float32(np.float32(tab["circle_r2"][r][e][s]) - k),
+                            np.float32(np.float32(tab["circle_hi2"][r][e][s]) - k),
+                            np.float32(np.float32(tab["circle_lo2"][r][e][s]) - k),
+                        )
+                    )
+                slot_map[r][e][s] = (uniq[key], att[r][e][s])
+
     def kernel(x_ref, y_ref, z_ref, o_ref):
         x, y, z = _coxa_frame(x_ref, y_ref, z_ref, ws)
         flip = jnp.signbit(x)
@@ -148,20 +182,23 @@ def make_reachability_kernel(leg: LegDimensions, block_rows: int = 256,
         xp = jnp.where(flip, -rho, rho) - coxa_length
         yp = z
         upper, ext = _region_bits(xp, yp, ws)
-        # validity of all four (region, ext) configurations, then 3 selects
+        # each unique circle once, both validity polarities
+        q = xp * xp + yp * yp
+        val_pos, val_neg = [], []
+        for (ax, ay, r2k, hi2k, lo2k) in uniq_params:
+            t = q + ax * xp + ay * yp
+            inside = t <= r2k
+            near = (t < hi2k) & (t > lo2k)
+            val_pos.append(inside | near)
+            val_neg.append(~inside | near)
+        # per-(region, ext) config: AND its 4 slot lookups, then 3 selects
         v = [[None, None], [None, None]]
         for r in range(2):
             for e in range(2):
                 ok = None
                 for s in range(4):
-                    dx = xp - tab["circle_x"][r][e][s]
-                    dy = yp - tab["circle_y"][r][e][s]
-                    d2 = dx * dx + dy * dy
-                    inside = d2 <= tab["circle_r2"][r][e][s]
-                    near = (d2 < tab["circle_hi2"][r][e][s]) & (
-                        d2 > tab["circle_lo2"][r][e][s]
-                    )
-                    good = (inside if att[r][e][s] else ~inside) | near
+                    ci, attract = slot_map[r][e][s]
+                    good = val_pos[ci] if attract else val_neg[ci]
                     ok = good if ok is None else ok & good
                 v[r][e] = ok
         plane_ok = _sel3b(upper, ext, v)

@@ -1,0 +1,142 @@
+"""Map-scale positionability benchmark (BASELINE.json config 4).
+
+Hexapod (or quadruped) body-pose feasibility over a large rough-terrain
+pointcloud with bucket-grid foothold pruning — the workload the reference
+runs through its CUDA octree (several_leg_octree.cu).  Generates a
+moon_ground terrain at the requested point count (up to 10M+), samples
+body-pose candidates hovering above the surface, and measures poses/s for
+the per-leg-quorum solve.
+
+Run: ``python tools/map_solve_bench.py [--points 10000000] [--poses 32768]
+[--legs 6]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bench import chained_timer  # noqa: E402  (slope-timing helper)
+from legmov_tpu.models.robot import HEX_MOUNTS, QUAD_MOUNTS, make_robot
+from legmov_tpu.ops import quaternion as quat
+from legmov_tpu.ops.grid import build_grid, cell_size_for, grid_reachable_legs
+from legmov_tpu.terrain import moon_ground
+
+
+def terrain_at(n_points: int) -> np.ndarray:
+    """moon_ground scaled to ~n_points (side rounded to a 128 multiple)."""
+    side = max(256, int(round(math.sqrt(n_points) / 128.0)) * 128)
+    return moon_ground(shape=(side, side))
+
+
+def sample_poses(terrain: np.ndarray, n: int, clearance: float, seed=0):
+    """Poses hovering ``clearance`` mm above the nearest terrain point."""
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, terrain.shape[0], n)
+    base = terrain[idx]
+    jitter = rng.uniform(-100, 100, (n, 2)).astype(np.float32)
+    pos = np.stack(
+        [base[:, 0] + jitter[:, 0], base[:, 1] + jitter[:, 1],
+         base[:, 2] + clearance],
+        axis=-1,
+    ).astype(np.float32)
+    rpy = rng.uniform(-0.1, 0.1, (n, 3)).astype(np.float32)
+    return pos, np.asarray(quat.from_rpy(rpy[:, 0], rpy[:, 1], rpy[:, 2]))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--points", type=int, default=10_000_000)
+    ap.add_argument("--poses", type=int, default=32768)
+    ap.add_argument("--legs", type=int, choices=(4, 6), default=6)
+    ap.add_argument("--clearance", type=float, default=180.0)
+    ap.add_argument("--k", type=int, default=0, help="leg quorum (0 = all)")
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    mounts = HEX_MOUNTS if args.legs == 6 else QUAD_MOUNTS
+    robot = make_robot(mounts)
+    k = args.k or args.legs
+
+    t0 = time.perf_counter()
+    terrain = terrain_at(args.points)
+    t_terrain = time.perf_counter() - t0
+    print(f"terrain: {terrain.shape[0]} points in {t_terrain:.2f}s", flush=True)
+
+    t0 = time.perf_counter()
+    grid = build_grid(terrain, cell_size_for(robot))
+    t_grid = time.perf_counter() - t0
+    cap = grid.points.shape[1]
+    print(
+        f"grid: dims={grid.dims} cap={cap} built in {t_grid:.2f}s "
+        f"(native host bucketing)",
+        flush=True,
+    )
+
+    body, quats = sample_poses(terrain, args.poses, args.clearance)
+    body_d = jnp.asarray(body)
+    quats_d = jnp.asarray(quats)
+
+    def solve_scalar(b, q):
+        legs, quorum = grid_reachable_legs(b, q, grid, robot, k=k)
+        return jnp.sum(quorum.astype(jnp.float32))
+
+    # dependency-chained slope timing (see bench.py): jitter the pose batch
+    # by the previous feasible-count so iterations cannot overlap/fold
+    from functools import partial
+
+    @partial(jax.jit, static_argnames="iters")
+    def chain(b, q, iters):
+        def bodyf(_, acc):
+            s = solve_scalar(b + acc, q)
+            return acc + jnp.float32(1e-7) * s
+
+        return jax.lax.fori_loop(0, iters, bodyf, jnp.float32(0.0))
+
+    def timed(it):
+        float(chain(body_d, quats_d, it))
+        ts = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            float(chain(body_d, quats_d, it))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    t1 = timed(1)
+    tk = timed(args.iters)
+    per = max((tk - t1) / (args.iters - 1), 1e-12)
+    feasible = int(
+        np.asarray(
+            grid_reachable_legs(body_d, quats_d, grid, robot, k=k)[1]
+        ).sum()
+    )
+    result = {
+        "metric": "positionability_poses_per_s",
+        "value": round(args.poses / per, 1),
+        "unit": "poses/s/chip",
+        "terrain_points": int(terrain.shape[0]),
+        "poses": args.poses,
+        "legs": args.legs,
+        "quorum": k,
+        "feasible_poses": feasible,
+        "grid_build_s": round(t_grid, 3),
+        "solve_s_per_batch": round(per, 4),
+        "candidate_points_per_pose": 27 * cap,
+        "device": jax.devices()[0].platform,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
