@@ -81,6 +81,43 @@ def distance_oriented(points: jnp.ndarray, leg: LegDimensions, q: jnp.ndarray):
     return ok, _undo_leg0(vec, cs, q)
 
 
+def gravity_check(points: jnp.ndarray, leg: LegDimensions, q: jnp.ndarray):
+    """Outward-side heuristic (reference ``simpleGravityCheck``,
+    one_leg_global.cu:9-23; compiled out by default via settings.h:22
+    ``enableGrav = false`` — likewise opt-in here).
+
+    A target is "gravity-valid" for a leg if it lies on the outward side of
+    the vertical plane through the (orientation-rotated) coxa joint:
+    ``dot(target - coxa, horiz(R(q) coxa)) > 0``.  Returns
+    ``(valid, plane_to_point)`` where ``plane_to_point`` is the projection
+    displacement the reference substitutes for the distance vector when the
+    check fails (one_leg_global.cu:253-264).
+    """
+    c = jnp.cos(leg.body_angle)
+    s = jnp.sin(leg.body_angle)
+    coxa = jnp.stack([c * leg.body, s * leg.body, jnp.zeros_like(c)], axis=-1)
+    rot = quat.rotate(q, coxa)
+    horiz = rot * jnp.asarray([1.0, 1.0, 0.0], _f32)
+    rel = points - coxa
+    dotp = jnp.sum(rel * horiz, axis=-1)
+    valid = dotp > 0
+    denom = jnp.sum(horiz * horiz, axis=-1)
+    plane_to_point = horiz * (dotp / denom)[..., None]
+    return valid, plane_to_point
+
+
+def distance_oriented_grav(points, leg, q):
+    """``distance_oriented`` with the gravity heuristic enabled
+    (the ``enableGrav = true`` build of reference distance(),
+    one_leg_global.cu:253-264): gravity-invalid points report unreachable
+    with the plane-projection displacement."""
+    gvalid, gdist = gravity_check(points, leg, q)
+    ok, vec = distance_oriented(points, leg, q)
+    ok = ok & gvalid
+    vec = jnp.where(gvalid[..., None], vec, gdist)
+    return ok, vec
+
+
 @jax.jit
 def reachability_oriented_batch(points, leg, q):
     return reachability_oriented(points, leg, q)

@@ -209,13 +209,10 @@ def make_reachability_kernel(leg: LegDimensions, block_rows: int = 256,
 
     block = block_rows * _LANES
 
-    @jax.jit
-    def fn(points: jnp.ndarray) -> jnp.ndarray:
-        n = points.shape[0]
-        pad = (-n) % block
-        soa = jnp.pad(points, ((0, pad), (0, 0))).T  # [3, n+pad]
-        rows = (n + pad) // _LANES
-        comps = soa.reshape(3, rows, _LANES)
+    def run(xs, ys, zs, n):
+        rows = xs.shape[0] // _LANES
+        comps = (xs.reshape(rows, _LANES), ys.reshape(rows, _LANES),
+                 zs.reshape(rows, _LANES))
         grid = rows // block_rows
         spec = pl.BlockSpec(
             (block_rows, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -227,9 +224,29 @@ def make_reachability_kernel(leg: LegDimensions, block_rows: int = 256,
             in_specs=[spec, spec, spec],
             out_specs=spec,
             interpret=interpret,
-        )(comps[0], comps[1], comps[2])
+        )(*comps)
         return out.reshape(-1)[:n].astype(bool)
 
+    @jax.jit
+    def fn(points: jnp.ndarray) -> jnp.ndarray:
+        n = points.shape[0]
+        pad = (-n) % block
+        soa = jnp.pad(points, ((0, pad), (0, 0))).T  # [3, n+pad]
+        return run(soa[0], soa[1], soa[2], n)
+
+    @jax.jit
+    def fn_soa(x: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
+        """SoA entry point — the layout the .bin terrain protocol already
+        uses (no transpose pass; N must not require padding for peak)."""
+        n = x.shape[0]
+        pad = (-n) % block
+        if pad:
+            x = jnp.pad(x, (0, pad))
+            y = jnp.pad(y, (0, pad))
+            z = jnp.pad(z, (0, pad))
+        return run(x, y, z, n)
+
+    fn.soa = fn_soa
     return fn
 
 

@@ -74,3 +74,20 @@ def test_fk_rasterization_negative():
     queries = (lo + (sel + 0.5) * cell).astype(f32)
     reach = np.asarray(reachability_batch(jnp.asarray(queries), leg))
     assert not reach.any(), f"{reach.sum()} far-outside points reachable"
+
+
+def test_lm_ik_oracle_agrees():
+    """The iterative-IK oracle (RBDL-LM equivalent, shares no code with the
+    circle decomposition) must agree with the closed-form reachability on
+    >= 99.5% of random points, with any disagreements attributable to IK
+    convergence near the workspace boundary."""
+    from legmov_tpu import distance_batch
+    from legmov_tpu.oracle.ik_oracle import ik_reachability
+
+    leg = get_moonbot_leg()
+    rng = np.random.default_rng(1)
+    pts = rng.uniform(-550, 550, (600, 3)).astype(f32)
+    want = np.asarray(reachability_batch(jnp.asarray(pts), leg))
+    got = ik_reachability(pts, leg, restarts=8, iters=15, tol=1.0)
+    agree = (got == want).mean()
+    assert agree >= 0.995, f"IK oracle agreement only {agree:.4f}"
