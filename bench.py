@@ -130,20 +130,39 @@ def main() -> None:
             kr = make_reachability_kernel(get_m2_leg())
             kd = make_distance_kernel(get_m2_leg())
 
-            def reach_scalar_p(p, _leg):
-                return jnp.sum(kr(p).astype(jnp.float32))
+            # SoA component arrays — the kernels' native layout, and the
+            # layout of the reference's own .bin file protocol.  The
+            # reference likewise times its kernel on ITS native layout
+            # (float3 AoS for CUDA) with the host-side SoA->AoS conversion
+            # outside the cudaEvent brackets (several_leg.cpp:126-133 ->
+            # cross_compiled.cu:58-65), so this is the symmetric
+            # methodology.
+            import numpy as _np
 
-            def dist_scalar_p(p, _leg):
-                ok, vec = kd(p)
-                return jnp.sum(vec[:, 0]) + jnp.sum(ok.astype(jnp.float32))
+            def to_soa(p):
+                a = _np.asarray(p)
+                return tuple(
+                    jax.device_put(_np.ascontiguousarray(a[:, i]), dev)
+                    for i in range(3)
+                )
 
-            t_reach = chained_timer(reach_scalar_p, pts, leg, args.iters,
+            rx, ry, rz = to_soa(pts)
+            dx_, dy_, dz_ = to_soa(pts_d)
+
+            def reach_scalar_p(x, _leg):
+                return jnp.sum(kr.soa(x, ry, rz).astype(jnp.float32))
+
+            def dist_scalar_p(x, _leg):
+                ok, vx, vy, vz = kd.soa(x, dy_, dz_)
+                return jnp.sum(vx) + jnp.sum(ok.astype(jnp.float32))
+
+            t_reach = chained_timer(reach_scalar_p, rx, leg, args.iters,
                                     args.reps)
             reach_ns = t_reach / n_reach * 1e9
-            t_dist = chained_timer(dist_scalar_p, pts_d, leg, args.iters,
+            t_dist = chained_timer(dist_scalar_p, dx_, leg, args.iters,
                                    args.reps)
             dist_ns = t_dist / n_dist * 1e9
-            impl = "pallas"
+            impl = "pallas-soa"
         except Exception as e:
             if args.impl == "pallas":
                 raise

@@ -76,26 +76,49 @@ def cmd_evaluate(args) -> None:
     from legmov_tpu.ops.reachability import reachability_batch
 
     leg = _get_leg(args.leg)
-    pts_np = lio.load_points(os.path.join(args.dir, "dist_input_t"))
-    if pts_np.shape[0] == 0:
+    comps = lio.load_components(os.path.join(args.dir, "dist_input_t"))
+    n = comps[0].shape[0]
+    if n == 0:
         raise SystemExit("no dist_input_t{x,y,z}.bin found; run prepare first")
-    pts = jnp.asarray(pts_np)
-    n = pts.shape[0]
 
-    t0 = time.perf_counter()
-    reach = np.asarray(reachability_batch(pts, leg))
-    t_reach = time.perf_counter() - t0
+    use_pallas = not args.no_pallas and jax.devices()[0].platform != "cpu"
+    if use_pallas:
+        # fused SoA kernels: the .bin protocol is already SoA, so no
+        # layout conversion happens anywhere on this path
+        from legmov_tpu.ops.pallas_kernels import (
+            make_distance_kernel,
+            make_reachability_kernel,
+        )
+
+        kr = make_reachability_kernel(leg)
+        kd = make_distance_kernel(leg)
+        x, y, z = (jnp.asarray(c) for c in comps)
+
+        t0 = time.perf_counter()
+        reach = np.asarray(kr.soa(x, y, z))
+        t_reach = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        ok, dx, dy, dz = kd.soa(x, y, z)
+        vec_comps = (np.asarray(dx), np.asarray(dy), np.asarray(dz))
+        t_dist = time.perf_counter() - t0
+    else:
+        pts = jnp.asarray(np.stack(comps, axis=-1))
+        t0 = time.perf_counter()
+        reach = np.asarray(reachability_batch(pts, leg))
+        t_reach = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        ok, vec = distance_batch(pts, leg)
+        vec = np.asarray(vec)
+        t_dist = time.perf_counter() - t0
+        vec_comps = (vec[:, 0], vec[:, 1], vec[:, 2])
+
     lio.save_bools(reach, os.path.join(args.dir, "out_reachability.bin"))
+    for comp, ax in zip(vec_comps, "xyz"):
+        lio.save_array(comp, os.path.join(args.dir, f"out_dist_x{ax}.bin"))
     print(
         f"reachability: {n} points in {t_reach*1e3:.2f} ms "
         f"({t_reach/n*1e9:.3f} ns/point incl. host transfer)"
     )
-
-    t0 = time.perf_counter()
-    ok, vec = distance_batch(pts, leg)
-    vec = np.asarray(vec)
-    t_dist = time.perf_counter() - t0
-    lio.save_points(vec, os.path.join(args.dir, "out_dist_x"))
     print(
         f"distance: {n} points in {t_dist*1e3:.2f} ms "
         f"({t_dist/n*1e9:.3f} ns/point incl. host transfer)"
@@ -180,6 +203,8 @@ def main() -> None:
     p = sub.add_parser("evaluate", help="run reachability+distance kernels")
     p.add_argument("--dir", default="data")
     p.add_argument("--leg", choices=LEGS, default="m2")
+    p.add_argument("--no-pallas", action="store_true",
+                   help="force the XLA path even on accelerator")
     p.set_defaults(fn=cmd_evaluate)
 
     p = sub.add_parser("report", help="render result images")

@@ -38,11 +38,16 @@ def save_points(points: np.ndarray, stem: str) -> None:
         save_array(pts[:, i], f"{stem}{ax}.bin")
 
 
-def load_points(stem: str) -> np.ndarray:
-    """``<stem>{x,y,z}.bin -> [N, 3]`` float32 (``threeArrays2float3Arr``)."""
+def load_components(stem: str):
+    """``<stem>{x,y,z}.bin -> (x, y, z)`` float32 SoA arrays."""
     comps = [load_array(f"{stem}{ax}.bin") for ax in "xyz"]
     n = min(c.shape[0] for c in comps)
-    return np.stack([c[:n] for c in comps], axis=-1)
+    return tuple(c[:n] for c in comps)
+
+
+def load_points(stem: str) -> np.ndarray:
+    """``<stem>{x,y,z}.bin -> [N, 3]`` float32 (``threeArrays2float3Arr``)."""
+    return np.stack(load_components(stem), axis=-1)
 
 
 def save_bools(mask: np.ndarray, path: str) -> None:

@@ -462,19 +462,16 @@ def make_distance_kernel(leg: LegDimensions, block_rows: int = 128,
 
     block = block_rows * _LANES
 
-    @jax.jit
-    def fn(points: jnp.ndarray):
-        n = points.shape[0]
-        pad = (-n) % block
-        soa = jnp.pad(points, ((0, pad), (0, 0))).T
-        rows = (n + pad) // _LANES
-        comps = soa.reshape(3, rows, _LANES)
+    def run(xs, ys, zs):
+        rows = xs.shape[0] // _LANES
+        comps = (xs.reshape(rows, _LANES), ys.reshape(rows, _LANES),
+                 zs.reshape(rows, _LANES))
         grid = rows // block_rows
         spec = pl.BlockSpec(
             (block_rows, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
         )
         f32s = jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)
-        ok, dx, dy, dz = pl.pallas_call(
+        return pl.pallas_call(
             kernel,
             out_shape=(
                 jax.ShapeDtypeStruct((rows, _LANES), jnp.uint8),
@@ -484,7 +481,14 @@ def make_distance_kernel(leg: LegDimensions, block_rows: int = 128,
             in_specs=[spec, spec, spec],
             out_specs=(spec, spec, spec, spec),
             interpret=interpret,
-        )(comps[0], comps[1], comps[2])
+        )(*comps)
+
+    @jax.jit
+    def fn(points: jnp.ndarray):
+        n = points.shape[0]
+        pad = (-n) % block
+        soa = jnp.pad(points, ((0, pad), (0, 0))).T
+        ok, dx, dy, dz = run(soa[0], soa[1], soa[2])
         ok = ok.reshape(-1)[:n].astype(bool)
         vec = jnp.stack(
             [dx.reshape(-1)[:n], dy.reshape(-1)[:n], dz.reshape(-1)[:n]],
@@ -492,4 +496,24 @@ def make_distance_kernel(leg: LegDimensions, block_rows: int = 128,
         )
         return ok, vec
 
+    @jax.jit
+    def fn_soa(x: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray):
+        """SoA in, SoA out — the layout of the .bin file protocol
+        (dist_input_t{x,y,z}.bin -> out_dist_x{x,y,z}.bin), skipping both
+        the input transpose and the output vector stack."""
+        n = x.shape[0]
+        pad = (-n) % block
+        if pad:
+            x = jnp.pad(x, (0, pad))
+            y = jnp.pad(y, (0, pad))
+            z = jnp.pad(z, (0, pad))
+        ok, dx, dy, dz = run(x, y, z)
+        return (
+            ok.reshape(-1)[:n].astype(bool),
+            dx.reshape(-1)[:n],
+            dy.reshape(-1)[:n],
+            dz.reshape(-1)[:n],
+        )
+
+    fn.soa = fn_soa
     return fn

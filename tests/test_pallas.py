@@ -61,3 +61,21 @@ def test_ragged_tail(pts):
         got = np.asarray(kr(sub))
         want = np.asarray(reachability_batch(sub, leg))
         np.testing.assert_array_equal(got, want)
+
+
+def test_soa_entries_match_aos(pts):
+    leg = get_m2_leg()
+    kr = make_reachability_kernel(leg, interpret=True)
+    x, y, z = (jnp.asarray(np.ascontiguousarray(np.asarray(pts)[:, i]))
+               for i in range(3))
+    np.testing.assert_array_equal(
+        np.asarray(kr.soa(x, y, z)), np.asarray(kr(pts))
+    )
+    kd = make_distance_kernel(leg, interpret=True)
+    ok_s, dx, dy, dz = kd.soa(x, y, z)
+    ok_a, vec = kd(pts)
+    np.testing.assert_array_equal(np.asarray(ok_s), np.asarray(ok_a))
+    np.testing.assert_array_equal(
+        np.stack([np.asarray(dx), np.asarray(dy), np.asarray(dz)], -1),
+        np.asarray(vec),
+    )
