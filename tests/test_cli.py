@@ -1,0 +1,49 @@
+"""End-to-end CLI pipeline test (prepare -> evaluate -> report) on CPU."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(tmp, *argv):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.run(
+        [sys.executable, "-m", "legmov_tpu.cli", *argv],
+        cwd=tmp, env=env, capture_output=True, text=True, timeout=900,
+    )
+
+
+@pytest.mark.slow
+def test_pipeline_end_to_end(tmp_path):
+    tmp = str(tmp_path)
+    r = run_cli(tmp, "prepare", "--pix-size", "40")
+    assert r.returncode == 0, r.stderr
+    for stem in ("numpy_input_t", "numpy_input_b", "dist_input_t"):
+        for ax in "xyz":
+            assert os.path.exists(os.path.join(tmp, "data", f"{stem}{ax}.bin"))
+
+    r = run_cli(tmp, "evaluate", "--leg", "moonbot")
+    assert r.returncode == 0, r.stderr
+    assert "reachable fraction" in r.stdout
+    frac = float(r.stdout.split("reachable fraction:")[1].strip())
+    assert 0.02 < frac < 0.2  # crescent occupies ~7% of the query box
+
+    reach = np.fromfile(
+        os.path.join(tmp, "data", "out_reachability.bin"), np.uint8
+    )
+    dx = np.fromfile(os.path.join(tmp, "data", "out_dist_xx.bin"), np.float32)
+    assert reach.shape == dx.shape
+
+    r = run_cli(tmp, "report", "--pix-size", "40")
+    assert r.returncode == 0, r.stderr
+    assert os.path.exists(os.path.join(tmp, "data", "reachability_result.png"))
+    assert os.path.exists(os.path.join(tmp, "data", "distance_result.png"))
+    assert os.path.exists(os.path.join(tmp, "data", "leg0_reach.npy"))

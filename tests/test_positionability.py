@@ -169,3 +169,45 @@ class TestPositionability:
             body_pos, body_quat, footholds, robot, k=2, chunk=4
         )
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestGravityHeuristic:
+    def test_outward_valid_inward_invalid(self):
+        """A target outward of the coxa passes; the mirrored inward target
+        fails and yields the plane-projection displacement
+        (one_leg_global.cu:9-23)."""
+        import jax.numpy as jnp
+        from legmov_tpu import get_moonbot_leg
+        from legmov_tpu.ops.orientation import gravity_check
+        from legmov_tpu.ops.quaternion import IDENTITY
+
+        leg = get_moonbot_leg()
+        q = jnp.asarray(IDENTITY)
+        out_pt = jnp.array([[400.0, 0.0, -100.0]], jnp.float32)
+        in_pt = jnp.array([[-400.0, 0.0, -100.0]], jnp.float32)
+        v_out, _ = gravity_check(out_pt, leg, q)
+        v_in, disp = gravity_check(in_pt, leg, q)
+        assert bool(v_out[0]) and not bool(v_in[0])
+        # displacement is along the coxa's horizontal outward direction
+        d = np.asarray(disp)[0]
+        assert d[0] < 0 and abs(d[1]) < 1e-3 and abs(d[2]) < 1e-3
+
+    def test_grav_distance_masks(self):
+        import jax.numpy as jnp
+        from legmov_tpu import get_moonbot_leg
+        from legmov_tpu.ops.orientation import (
+            distance_oriented,
+            distance_oriented_grav,
+        )
+        from legmov_tpu.ops.quaternion import IDENTITY
+
+        leg = get_moonbot_leg()
+        q = jnp.asarray(IDENTITY)
+        pts = jnp.array(
+            [[350.0, 0.0, -120.0], [-350.0, 0.0, -120.0]], jnp.float32
+        )
+        ok_plain, _ = distance_oriented(pts, leg, q)
+        ok_grav, vec = distance_oriented_grav(pts, leg, q)
+        # outward point unchanged; inward point forced unreachable
+        assert bool(ok_grav[0]) == bool(ok_plain[0])
+        assert not bool(ok_grav[1])
