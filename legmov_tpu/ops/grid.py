@@ -87,6 +87,31 @@ def cell_size_for(robot: LegDimensions) -> float:
     )
 
 
+def neighbor_offsets(cell_size: float, reach: float) -> np.ndarray:
+    """``[K, 3]`` cell offsets whose cells can contain in-reach footholds.
+
+    For ``cell_size == reach`` this is the classic 3x3x3 neighborhood; for
+    finer cells (``cell_size = reach / s``) it is the sphere-pruned ball of
+    offsets — the pose sits somewhere inside its own cell, so an offset
+    cell is kept iff its nearest corner can be within ``reach`` of any
+    point of the center cell (1-cell safety margin per axis).  Finer cells
+    trade more (smaller) row gathers for a candidate set that hugs the
+    reach sphere instead of the enclosing cube — on dense 2.5-D terrain
+    maps this cuts gathered candidates by several fold.
+    """
+    r_cells = int(np.ceil(reach / cell_size))
+    offs = []
+    for i in range(-r_cells - 1, r_cells + 2):
+        for j in range(-r_cells - 1, r_cells + 2):
+            for k in range(-r_cells - 1, r_cells + 2):
+                d2 = sum(
+                    (max(abs(o) - 1, 0) * cell_size) ** 2 for o in (i, j, k)
+                )
+                if d2 <= reach * reach:
+                    offs.append((i, j, k))
+    return np.asarray(offs, np.int32)
+
+
 @partial(jax.jit, static_argnames=("k",))
 def grid_reachable_legs(
     body_pos: jnp.ndarray,  # [P, 3]
@@ -94,13 +119,15 @@ def grid_reachable_legs(
     grid: FootholdGrid,
     robot: LegDimensions,
     k: int = 0,
+    offsets: jnp.ndarray | None = None,  # [K, 3] int32
 ):
     """``([P, L] legs-with-foothold, [P] quorum)`` using grid pruning.
 
-    Loops the 27 neighbor offsets with a scan; each step gathers one
-    contiguous candidate row per pose and ORs per-leg reachability into the
-    accumulator — the bucketed equivalent of ops/positionability.py
-    ``reachable_legs``.
+    Loops the neighbor offsets (default 3x3x3; pass
+    :func:`neighbor_offsets` output for finer-cell grids) with a scan;
+    each step gathers one contiguous candidate row per pose and ORs
+    per-leg reachability into the accumulator — the bucketed equivalent of
+    ops/positionability.py ``reachable_legs``.
     """
     P = body_pos.shape[0]
     L = int(jax.tree.leaves(robot)[0].shape[0])
@@ -108,10 +135,12 @@ def grid_reachable_legs(
     cs = jnp.float32(grid.cell_size)
     base = jnp.floor((body_pos - grid.origin) / cs).astype(jnp.int32)
 
-    offsets = jnp.asarray(
-        [(i, j, l) for i in (-1, 0, 1) for j in (-1, 0, 1) for l in (-1, 0, 1)],
-        jnp.int32,
-    )  # [27, 3]
+    if offsets is None:
+        offsets = jnp.asarray(
+            [(i, j, l) for i in (-1, 0, 1) for j in (-1, 0, 1)
+             for l in (-1, 0, 1)],
+            jnp.int32,
+        )  # [27, 3]
 
     def per_offset(acc, off):
         cell = base + off  # [P, 3]

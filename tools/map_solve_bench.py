@@ -29,14 +29,21 @@ import numpy as np
 from bench import chained_timer  # noqa: E402  (slope-timing helper)
 from legmov_tpu.models.robot import HEX_MOUNTS, QUAD_MOUNTS, make_robot
 from legmov_tpu.ops import quaternion as quat
-from legmov_tpu.ops.grid import build_grid, cell_size_for, grid_reachable_legs
+from legmov_tpu.ops.grid import (build_grid, cell_size_for,
+                                 grid_reachable_legs, neighbor_offsets)
 from legmov_tpu.terrain import moon_ground
 
 
 def terrain_at(n_points: int) -> np.ndarray:
-    """moon_ground scaled to ~n_points (side rounded to a 128 multiple)."""
+    """moon_ground scaled to ~n_points (side rounded to a 128 multiple),
+    cached on disk (generation is host-bound at 10M+ points)."""
     side = max(256, int(round(math.sqrt(n_points) / 128.0)) * 128)
-    return moon_ground(shape=(side, side))
+    cache = f"/tmp/legmov_moon_{side}.npy"
+    if os.path.exists(cache):
+        return np.load(cache)
+    t = moon_ground(shape=(side, side))
+    np.save(cache, t)
+    return t
 
 
 def sample_poses(terrain: np.ndarray, n: int, clearance: float, seed=0):
@@ -61,6 +68,9 @@ def main() -> None:
     ap.add_argument("--legs", type=int, choices=(4, 6), default=6)
     ap.add_argument("--clearance", type=float, default=180.0)
     ap.add_argument("--k", type=int, default=0, help="leg quorum (0 = all)")
+    ap.add_argument("--subdiv", type=int, default=2,
+                    help="grid cells per leg reach (finer = tighter pruning)")
+    ap.add_argument("--pose-chunk", type=int, default=2048)
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
@@ -74,42 +84,49 @@ def main() -> None:
     t_terrain = time.perf_counter() - t0
     print(f"terrain: {terrain.shape[0]} points in {t_terrain:.2f}s", flush=True)
 
+    reach = cell_size_for(robot)
+    cell = reach / args.subdiv
     t0 = time.perf_counter()
-    grid = build_grid(terrain, cell_size_for(robot))
+    grid = build_grid(terrain, cell)
     t_grid = time.perf_counter() - t0
     cap = grid.points.shape[1]
+    offs = jnp.asarray(neighbor_offsets(cell, reach))
     print(
-        f"grid: dims={grid.dims} cap={cap} built in {t_grid:.2f}s "
-        f"(native host bucketing)",
+        f"grid: dims={grid.dims} cap={cap} offsets={offs.shape[0]} "
+        f"built in {t_grid:.2f}s (native host bucketing)",
         flush=True,
     )
 
+    n_chunk = min(args.pose_chunk, args.poses)
     body, quats = sample_poses(terrain, args.poses, args.clearance)
-    body_d = jnp.asarray(body)
-    quats_d = jnp.asarray(quats)
-
-    def solve_scalar(b, q):
-        legs, quorum = grid_reachable_legs(b, q, grid, robot, k=k)
-        return jnp.sum(quorum.astype(jnp.float32))
+    body_d = jnp.asarray(body[:n_chunk])
+    quats_d = jnp.asarray(quats[:n_chunk])
 
     # dependency-chained slope timing (see bench.py): jitter the pose batch
-    # by the previous feasible-count so iterations cannot overlap/fold
+    # by the previous feasible-count so iterations cannot overlap/fold.
+    # The grid table and robot MUST be jit arguments, not closures — a
+    # closed-over 10M-point device array would be baked into the program as
+    # a constant (and blow up the remote-compile request).
     from functools import partial
 
-    @partial(jax.jit, static_argnames="iters")
-    def chain(b, q, iters):
+    @partial(jax.jit, static_argnames=("iters", "kk"))
+    def chain(b, q, g, rb, off, iters, kk):
         def bodyf(_, acc):
-            s = solve_scalar(b + acc, q)
-            return acc + jnp.float32(1e-7) * s
+            legs, quorum = grid_reachable_legs(
+                b + acc, q, g, rb, k=kk, offsets=off
+            )
+            return acc + jnp.float32(1e-7) * jnp.sum(
+                quorum.astype(jnp.float32)
+            )
 
         return jax.lax.fori_loop(0, iters, bodyf, jnp.float32(0.0))
 
     def timed(it):
-        float(chain(body_d, quats_d, it))
+        float(chain(body_d, quats_d, grid, robot, offs, it, k))
         ts = []
         for _ in range(args.reps):
             t0 = time.perf_counter()
-            float(chain(body_d, quats_d, it))
+            float(chain(body_d, quats_d, grid, robot, offs, it, k))
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
 
@@ -118,21 +135,23 @@ def main() -> None:
     per = max((tk - t1) / (args.iters - 1), 1e-12)
     feasible = int(
         np.asarray(
-            grid_reachable_legs(body_d, quats_d, grid, robot, k=k)[1]
+            grid_reachable_legs(
+                body_d, quats_d, grid, robot, k=k, offsets=offs
+            )[1]
         ).sum()
     )
     result = {
         "metric": "positionability_poses_per_s",
-        "value": round(args.poses / per, 1),
+        "value": round(n_chunk / per, 1),
         "unit": "poses/s/chip",
         "terrain_points": int(terrain.shape[0]),
-        "poses": args.poses,
+        "poses_timed": n_chunk,
         "legs": args.legs,
         "quorum": k,
-        "feasible_poses": feasible,
+        "feasible_poses_in_chunk": feasible,
         "grid_build_s": round(t_grid, 3),
-        "solve_s_per_batch": round(per, 4),
-        "candidate_points_per_pose": 27 * cap,
+        "solve_s_per_chunk": round(per, 4),
+        "candidate_points_per_pose": int(offs.shape[0]) * cap,
         "device": jax.devices()[0].platform,
     }
     print(json.dumps(result))
