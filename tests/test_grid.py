@@ -104,3 +104,29 @@ def test_native_layout_roundtrip(rng):
     pts = rng.uniform(-10, 10, (1000, 3)).astype(np.float32)
     x, y, z = native.aos_to_soa(pts)
     np.testing.assert_array_equal(native.soa_to_aos(x, y, z), pts)
+
+
+def test_subdivided_grid_matches_dense(rng):
+    """Finer cells + sphere-pruned offset ball must still find every
+    reachable foothold (completeness of neighbor_offsets)."""
+    from legmov_tpu.ops.grid import neighbor_offsets
+
+    robot = get_moonbot_robot()
+    reach = cell_size_for(robot)
+    fh = flat_grid((-1200, 1201), (-1200, 1201), 90.0, z=-130.0)
+    P = 24
+    body = jnp.asarray(
+        (rng.uniform(-800, 800, (P, 3)) * [1, 1, 0.1]).astype(np.float32)
+    )
+    quats = jnp.broadcast_to(jnp.asarray(IDENTITY), (P, 4))
+    legs_d = reachable_legs(body, quats, jnp.asarray(fh), robot)
+    for subdiv in (2, 3):
+        cell = reach / subdiv
+        g = build_grid(fh, cell)
+        offs = jnp.asarray(neighbor_offsets(cell, reach))
+        legs_g, _ = grid_reachable_legs(
+            body, quats, g, robot, offsets=offs
+        )
+        np.testing.assert_array_equal(
+            np.asarray(legs_g), np.asarray(legs_d), err_msg=f"subdiv={subdiv}"
+        )
