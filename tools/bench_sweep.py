@@ -28,9 +28,9 @@ from legmov_tpu.ops.distance import distance  # noqa: E402
 from legmov_tpu.ops.reachability import reachability  # noqa: E402
 
 
-def grids(max_points: int):
+def grids(max_points: int, start_pix: float = 50.0):
     """Pixel-pitch sweep like bench.cpp:109-120 / setting_bench.h:8-18."""
-    pix = 50.0
+    pix = start_pix
     while True:
         xs = np.arange(-100, 601, pix, dtype=np.float32)
         zs = np.arange(-350, 51, pix, dtype=np.float32)
@@ -62,7 +62,7 @@ def main() -> None:
         return jnp.sum(vec[:, 0]) + jnp.sum(ok.astype(jnp.float32))
 
     rows_r, rows_d = [], []
-    for pix, pts_np in grids(args.max_points):
+    for pix, pts_np in grids(args.max_points, args.start_pix):
         pts = jnp.asarray(pts_np)
         n = pts.shape[0]
         t_r = chained_timer(reach_scalar, pts, leg, args.iters, args.reps)
