@@ -168,3 +168,65 @@ def grid_reachable_legs(
     legs, _ = jax.lax.scan(per_offset, acc0, offsets)
     quorum = jnp.sum(legs, axis=-1) >= jnp.int32(k if k else L)
     return legs, quorum
+
+
+@partial(jax.jit, static_argnames=("k", "top_k"))
+def grid_reachable_legs_topk(
+    body_pos: jnp.ndarray,  # [P, 3]
+    body_quat: jnp.ndarray,  # [P, 4]
+    grid: FootholdGrid,
+    robot: LegDimensions,
+    offsets: jnp.ndarray,  # [K_off, 3] int32
+    top_k: int,
+    k: int = 0,
+):
+    """Like :func:`grid_reachable_legs` but evaluating, per pose, only its
+    ``top_k`` most-populated neighbor cells.
+
+    On 2.5-D terrain the offset ball is mostly empty space (cells above /
+    below the surface), so a surface pose typically has far fewer nonempty
+    neighbor cells than offsets — compacting to the occupied ones before
+    the gather cuts the padded candidate set several-fold.  Returns
+    ``(legs [P, L], quorum [P], overflow [P])``; ``overflow`` flags poses
+    whose nonempty neighbor count exceeded ``top_k`` (their result may
+    miss footholds — re-run them through the exhaustive path).
+    """
+    P = body_pos.shape[0]
+    L = int(jax.tree.leaves(robot)[0].shape[0])
+    nx, ny, nz = grid.dims
+    cs = jnp.float32(grid.cell_size)
+    base = jnp.floor((body_pos - grid.origin) / cs).astype(jnp.int32)
+
+    cell = base[:, None, :] + offsets[None, :, :]  # [P, K_off, 3]
+    in_range = jnp.all(
+        (cell >= 0) & (cell < jnp.asarray([nx, ny, nz], jnp.int32)), axis=-1
+    )
+    cellc = jnp.clip(cell, 0, jnp.asarray([nx - 1, ny - 1, nz - 1]))
+    flat = (cellc[..., 0] * ny + cellc[..., 1]) * nz + cellc[..., 2]
+    counts = jnp.where(in_range, grid.counts[flat], 0)  # [P, K_off]
+    occupied = counts > 0
+    n_occ = jnp.sum(occupied, axis=-1)
+    overflow = n_occ > top_k
+    _, sel = jax.lax.top_k(counts, top_k)  # [P, top_k] offset indices
+    sel_flat = jnp.take_along_axis(flat, sel, axis=-1)
+    sel_occ = jnp.take_along_axis(occupied, sel, axis=-1)
+
+    def per_step(acc, idx):
+        fl = sel_flat[:, idx]  # [P]
+        live = sel_occ[:, idx]
+        cand = grid.points[fl]  # [P, cap, 3]
+        rel = cand - body_pos[:, None, :]
+
+        def per_pose(rel_p, q):
+            def per_leg(leg):
+                return jnp.any(reachability_oriented(rel_p, leg, q))
+
+            return jax.vmap(per_leg)(robot)
+
+        got = jax.vmap(per_pose)(rel, body_quat)  # [P, L]
+        return acc | (got & live[:, None]), None
+
+    acc0 = jnp.zeros((P, L), bool)
+    legs, _ = jax.lax.scan(per_step, acc0, jnp.arange(top_k))
+    quorum = jnp.sum(legs, axis=-1) >= jnp.int32(k if k else L)
+    return legs, quorum, overflow

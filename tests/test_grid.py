@@ -130,3 +130,37 @@ def test_subdivided_grid_matches_dense(rng):
         np.testing.assert_array_equal(
             np.asarray(legs_g), np.asarray(legs_d), err_msg=f"subdiv={subdiv}"
         )
+
+
+def test_topk_matches_exhaustive(rng):
+    """Top-K nonempty-cell compaction equals the exhaustive offset scan
+    when K covers every pose's occupied neighborhood."""
+    from legmov_tpu.ops.grid import grid_reachable_legs_topk, neighbor_offsets
+
+    robot = get_moonbot_robot()
+    reach = cell_size_for(robot)
+    cell = reach / 2
+    fh = flat_grid((-1200, 1201), (-1200, 1201), 90.0, z=-130.0)
+    g = build_grid(fh, cell)
+    offs = jnp.asarray(neighbor_offsets(cell, reach))
+    P = 16
+    body = jnp.asarray(
+        (rng.uniform(-800, 800, (P, 3)) * [1, 1, 0.1]).astype(np.float32)
+    )
+    quats = jnp.broadcast_to(jnp.asarray(IDENTITY), (P, 4))
+    legs_full, quorum_full = grid_reachable_legs(
+        body, quats, g, robot, offsets=offs
+    )
+    legs_tk, quorum_tk, overflow = grid_reachable_legs_topk(
+        body, quats, g, robot, offs, top_k=int(offs.shape[0]), k=0
+    )
+    assert not np.asarray(overflow).any()
+    np.testing.assert_array_equal(np.asarray(legs_tk), np.asarray(legs_full))
+    np.testing.assert_array_equal(
+        np.asarray(quorum_tk), np.asarray(quorum_full)
+    )
+    # small K on a flat map: overflow must be reported when truncating
+    _, _, overflow_small = grid_reachable_legs_topk(
+        body, quats, g, robot, offs, top_k=4, k=0
+    )
+    assert np.asarray(overflow_small).any()

@@ -49,10 +49,29 @@ def main() -> None:
     ap.add_argument("--max-points", type=int, default=1 << 25)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--impl", choices=("auto", "pallas", "xla"),
+                    default="auto")
+    ap.add_argument("--start-pix", type=float, default=50.0,
+                    help="coarsest grid pitch (larger = fewer sweep sizes; "
+                    "each size costs fresh compiles through the relay)")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
     leg = get_m2_leg()
+
+    kr = kd = None
+    if args.impl in ("auto", "pallas"):
+        try:
+            from legmov_tpu.ops.pallas_kernels import (
+                make_distance_kernel,
+                make_reachability_kernel,
+            )
+
+            kr = make_reachability_kernel(leg)
+            kd = make_distance_kernel(leg)
+        except Exception:
+            if args.impl == "pallas":
+                raise
 
     def reach_scalar(p, leg):
         return jnp.sum(reachability(p, leg).astype(jnp.float32))
@@ -63,12 +82,31 @@ def main() -> None:
 
     rows_r, rows_d = [], []
     for pix, pts_np in grids(args.max_points, args.start_pix):
-        pts = jnp.asarray(pts_np)
-        n = pts.shape[0]
-        t_r = chained_timer(reach_scalar, pts, leg, args.iters, args.reps)
+        n = pts_np.shape[0]
+        if kr is not None:
+            # SoA pallas path, same methodology as bench.py
+            comps = tuple(
+                jnp.asarray(np.ascontiguousarray(pts_np[:, i]))
+                for i in range(3)
+            )
+
+            def reach_fn(x, _leg, _c=comps):
+                return jnp.sum(kr.soa(x, _c[1], _c[2]).astype(jnp.float32))
+
+            def dist_fn(x, _leg, _c=comps):
+                ok, vx, vy, vz = kd.soa(x, _c[1], _c[2])
+                return jnp.sum(vx) + jnp.sum(ok.astype(jnp.float32))
+
+            timed_arg = comps[0]
+        else:
+            pts = jnp.asarray(pts_np)
+            reach_fn, dist_fn, timed_arg = reach_scalar, dist_scalar, pts
+
+        t_r = chained_timer(reach_fn, timed_arg, leg, args.iters, args.reps)
         rows_r.append((n, t_r / n * 1e9))
         if n <= args.max_points // 4:
-            t_d = chained_timer(dist_scalar, pts, leg, args.iters, args.reps)
+            t_d = chained_timer(dist_fn, timed_arg, leg, args.iters,
+                                args.reps)
             rows_d.append((n, t_d / n * 1e9))
         print(
             f"pix={pix:<8g} N={n:<10d} reach={rows_r[-1][1]:.4f} ns/pt"

@@ -30,7 +30,8 @@ from bench import chained_timer  # noqa: E402  (slope-timing helper)
 from legmov_tpu.models.robot import HEX_MOUNTS, QUAD_MOUNTS, make_robot
 from legmov_tpu.ops import quaternion as quat
 from legmov_tpu.ops.grid import (build_grid, cell_size_for,
-                                 grid_reachable_legs, neighbor_offsets)
+                                 grid_reachable_legs,
+                                 grid_reachable_legs_topk, neighbor_offsets)
 from legmov_tpu.terrain import moon_ground
 
 
@@ -71,6 +72,9 @@ def main() -> None:
     ap.add_argument("--subdiv", type=int, default=2,
                     help="grid cells per leg reach (finer = tighter pruning)")
     ap.add_argument("--pose-chunk", type=int, default=2048)
+    ap.add_argument("--topk", action="store_true", default=True,
+                    help="compact to each pose's occupied neighbor cells")
+    ap.add_argument("--no-topk", dest="topk", action="store_false")
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
@@ -102,6 +106,29 @@ def main() -> None:
     body_d = jnp.asarray(body[:n_chunk])
     quats_d = jnp.asarray(quats[:n_chunk])
 
+    top_k = 0
+    if args.topk:
+        # exact required K for this pose set, computed host-side: nonempty
+        # neighbor cells per pose (+slack for the chained timing jitter)
+        base = np.floor(
+            (body[:n_chunk] - np.asarray(grid.origin)) / cell
+        ).astype(np.int64)
+        offs_np = np.asarray(offs)
+        cells = base[:, None, :] + offs_np[None, :, :]
+        dims_a = np.asarray(grid.dims)
+        ok_rng = np.all((cells >= 0) & (cells < dims_a), axis=-1)
+        cl = np.clip(cells, 0, dims_a - 1)
+        flat = (cl[..., 0] * dims_a[1] + cl[..., 1]) * dims_a[2] + cl[..., 2]
+        counts_np = np.asarray(grid.counts)[flat] * ok_rng
+        n_occ = (counts_np > 0).sum(axis=1)
+        top_k = min(int(n_occ.max()) + 8, int(offs_np.shape[0]))
+        print(
+            f"top-k compaction: occupied neighbor cells per pose "
+            f"median={int(np.median(n_occ))} max={int(n_occ.max())} "
+            f"-> K={top_k} (of {offs_np.shape[0]} offsets)",
+            flush=True,
+        )
+
     # dependency-chained slope timing (see bench.py): jitter the pose batch
     # by the previous feasible-count so iterations cannot overlap/fold.
     # The grid table and robot MUST be jit arguments, not closures — a
@@ -109,12 +136,17 @@ def main() -> None:
     # a constant (and blow up the remote-compile request).
     from functools import partial
 
-    @partial(jax.jit, static_argnames=("iters", "kk"))
-    def chain(b, q, g, rb, off, iters, kk):
+    @partial(jax.jit, static_argnames=("iters", "kk", "tk"))
+    def chain(b, q, g, rb, off, iters, kk, tk):
         def bodyf(_, acc):
-            legs, quorum = grid_reachable_legs(
-                b + acc, q, g, rb, k=kk, offsets=off
-            )
+            if tk:
+                legs, quorum, _ = grid_reachable_legs_topk(
+                    b + acc, q, g, rb, off, top_k=tk, k=kk
+                )
+            else:
+                legs, quorum = grid_reachable_legs(
+                    b + acc, q, g, rb, k=kk, offsets=off
+                )
             return acc + jnp.float32(1e-7) * jnp.sum(
                 quorum.astype(jnp.float32)
             )
@@ -122,24 +154,31 @@ def main() -> None:
         return jax.lax.fori_loop(0, iters, bodyf, jnp.float32(0.0))
 
     def timed(it):
-        float(chain(body_d, quats_d, grid, robot, offs, it, k))
+        float(chain(body_d, quats_d, grid, robot, offs, it, k, top_k))
         ts = []
         for _ in range(args.reps):
             t0 = time.perf_counter()
-            float(chain(body_d, quats_d, grid, robot, offs, it, k))
+            float(chain(body_d, quats_d, grid, robot, offs, it, k, top_k))
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
 
     t1 = timed(1)
     tk = timed(args.iters)
     per = max((tk - t1) / (args.iters - 1), 1e-12)
-    feasible = int(
-        np.asarray(
-            grid_reachable_legs(
-                body_d, quats_d, grid, robot, k=k, offsets=offs
-            )[1]
-        ).sum()
-    )
+    if top_k:
+        legs_r, quorum_r, overflow_r = grid_reachable_legs_topk(
+            body_d, quats_d, grid, robot, offs, top_k=top_k, k=k
+        )
+        feasible = int(np.asarray(quorum_r).sum())
+        assert not np.asarray(overflow_r).any(), "top_k undersized"
+    else:
+        feasible = int(
+            np.asarray(
+                grid_reachable_legs(
+                    body_d, quats_d, grid, robot, k=k, offsets=offs
+                )[1]
+            ).sum()
+        )
     result = {
         "metric": "positionability_poses_per_s",
         "value": round(n_chunk / per, 1),
@@ -151,7 +190,8 @@ def main() -> None:
         "feasible_poses_in_chunk": feasible,
         "grid_build_s": round(t_grid, 3),
         "solve_s_per_chunk": round(per, 4),
-        "candidate_points_per_pose": int(offs.shape[0]) * cap,
+        "candidate_points_per_pose": (top_k or int(offs.shape[0])) * cap,
+        "top_k": top_k,
         "device": jax.devices()[0].platform,
     }
     print(json.dumps(result))
