@@ -1,0 +1,273 @@
+"""Fused multi-leg oriented-reachability Pallas kernel.
+
+The positionability hot loop evaluates, for every (pose, candidate
+foothold), all L legs' reachability under the pose's body orientation
+(ops/grid.py -> ops/orientation.py).  The XLA path materializes [P, C]
+intermediates between fusions; this kernel does the entire chain —
+quaternion un-rotation, per-leg azimuth/coxa frames, region bits, circle
+tests, per-leg any-candidate OR — in one VMEM pass.
+
+Layout: tiles are ``[POSE_ROWS=8, 128]`` (sublanes = poses, lanes =
+candidates).  Per-pose quantities (quaternion, body position, and the
+orientation-dependent workspace tables of every leg) ride in one packed
+``[P, W]`` table whose ``[8, 1]`` column slices broadcast against the
+candidate lanes.  Tables are precomputed by XLA (:func:`oriented_tables`)
+in the expanded linear circle form of ops/pallas_kernels.py (2 FMA + 3
+compares per circle test).  Leg-static scalars (mount azimuth, coxa pitch
+frame, coxa yaw-limit directions) are baked as Python-float immediates.
+
+The candidate axis is the second grid dimension with an accumulating
+``[P, 128]`` uint8 output (lane l = leg l's any-candidate bit), relying on
+TPU's guaranteed sequential grid order.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from legmov_tpu.models.leg import LegDimensions
+from legmov_tpu.models.workspace import build_workspace
+from legmov_tpu.ops.orientation import rotate_leg_data
+
+POSE_ROWS = 8
+_LANES = 128
+
+#: per-leg slice layout inside the packed table (offsets relative to the
+#: leg block start): linear-form circle params [2 region, 2 ext, 4 slot]
+#: flattened r*8 + e*4 + s.
+_AX, _AY, _R2K, _HI2K, _LO2K, _ATT = 0, 16, 32, 48, 64, 80
+_MID_DIR, _MID_NEG, _SAT_DIR, _SAT_NEG = 96, 98, 99, 103
+LEG_BLOCK = 105
+_HDR = 7  # quat (4) + body position (3)
+
+
+def table_width(n_legs: int) -> int:
+    w = _HDR + n_legs * LEG_BLOCK
+    return ((w + _LANES - 1) // _LANES) * _LANES
+
+
+def oriented_tables(
+    body_pos: jnp.ndarray, quats: jnp.ndarray, robot: LegDimensions
+) -> jnp.ndarray:
+    """``[P, table_width(L)]`` packed per-pose scalars.
+
+    XLA-side precompute (O(P x L) scalar trig — negligible next to the
+    candidate axis): per (pose, leg), rotate the absolute-tibia limits by
+    the pose pitch (one_leg_global.cu:48-60), rebuild the circle tables
+    and fold them into the expanded linear form
+    ``t = q - 2 cx xp - 2 cy yp``  vs thresholds with the center norm
+    pre-subtracted.
+    """
+
+    def per_pose(q):
+        def per_leg(leg):
+            ws = build_workspace(rotate_leg_data(q, leg))
+            cx = ws.circle_x.reshape(-1)
+            cy = ws.circle_y.reshape(-1)
+            k = cx * cx + cy * cy
+            parts = [
+                -2.0 * cx,
+                -2.0 * cy,
+                ws.circle_r2.reshape(-1) - k,
+                ws.circle_hi2.reshape(-1) - k,
+                ws.circle_lo2.reshape(-1) - k,
+                ws.circle_attract.reshape(-1).astype(jnp.float32),
+                ws.mid_dir.reshape(-1),
+                ws.mid_neg.reshape(-1).astype(jnp.float32),
+                ws.sat_dir.reshape(-1),
+                ws.sat_neg.reshape(-1).astype(jnp.float32),
+            ]
+            return jnp.concatenate(parts)
+
+        blocks = jax.vmap(per_leg)(robot).reshape(-1)  # [L * LEG_BLOCK]
+        return blocks
+
+    L = int(jax.tree.leaves(robot)[0].shape[0])
+    blocks = jax.vmap(per_pose)(quats)  # [P, L*LEG_BLOCK]
+    hdr = jnp.concatenate([quats, body_pos], axis=-1)  # [P, 7]
+    tab = jnp.concatenate([hdr, blocks], axis=-1)
+    pad = table_width(L) - tab.shape[-1]
+    return jnp.pad(tab, ((0, 0), (0, pad))).astype(jnp.float32)
+
+
+def _bsel(c, a, b):
+    return (c & a) | (~c & b)
+
+
+def make_multileg_kernel(
+    robot: LegDimensions, cand_cols: int, interpret: bool = False
+):
+    """Kernel factory for a fixed robot + candidate-axis width.
+
+    Returns jitted ``fn(tab [P, W], gx, gy, gz [P, C]) -> [P, L] bool``
+    where (gx, gy, gz) are candidate foothold world coordinates per pose
+    (sentinel-padded; ``C == cand_cols`` must be a multiple of 128) and
+    ``tab`` comes from :func:`oriented_tables` for the same poses.
+    """
+    L = int(jax.tree.leaves(robot)[0].shape[0])
+    W = table_width(L)
+    if cand_cols % _LANES:
+        raise ValueError(f"cand_cols {cand_cols} not a multiple of {_LANES}")
+
+    # leg-static immediates (orientation does not shift these)
+    legs_const = []
+    for i in range(L):
+        leg = jax.tree.map(lambda x: np.asarray(x)[i], robot)
+        ws = build_workspace(
+            jax.tree.map(lambda x: jnp.asarray(x), leg)
+        )
+        ws = type(ws)(*[np.asarray(f) for f in ws])
+        ba = float(leg.body_angle)
+        pitch = float(leg.coxa_pitch)
+        legs_const.append(
+            dict(
+                ca=float(np.float32(np.cos(np.float32(-ba)))),
+                sa=float(np.float32(np.sin(np.float32(-ba)))),
+                body=float(leg.body),
+                cp=float(np.float32(np.cos(np.float32(-pitch)))),
+                sp=float(np.float32(np.sin(np.float32(-pitch)))),
+                coxa_len=float(leg.coxa_length),
+                cmax=(float(ws.coxa_max_dir[0]), float(ws.coxa_max_dir[1])),
+                cmin=(float(ws.coxa_min_dir[0]), float(ws.coxa_min_dir[1])),
+                gt_possible=bool(ws.coxa_gt_possible),
+                lt_possible=bool(ws.coxa_lt_possible),
+            )
+        )
+
+    def kernel(tab_ref, x_ref, y_ref, z_ref, o_ref):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _init():
+            o_ref[...] = jnp.zeros_like(o_ref)
+
+        def s(i):
+            return tab_ref[:, i : i + 1]  # [8, 1] broadcastable scalar
+
+        # candidate position relative to the body, in the world frame
+        rx = x_ref[...] - s(4)
+        ry = y_ref[...] - s(5)
+        rz = z_ref[...] - s(6)
+        # un-rotate by the body quaternion (conjugate rotation)
+        w = s(0)
+        ux = -s(1)
+        uy = -s(2)
+        uz = -s(3)
+        tx = 2.0 * (uy * rz - uz * ry)
+        ty = 2.0 * (uz * rx - ux * rz)
+        tz = 2.0 * (ux * ry - uy * rx)
+        vx = rx + w * tx + (uy * tz - uz * ty)
+        vy = ry + w * ty + (uz * tx - ux * tz)
+        vz = rz + w * tz + (ux * ty - uy * tx)
+
+        for l, c in enumerate(legs_const):
+            off = _HDR + l * LEG_BLOCK
+            # yaw by -body_angle ("as if leg 0")
+            x0 = vx * c["ca"] - vy * c["sa"]
+            y0 = vx * c["sa"] + vy * c["ca"]
+            # coxa frame
+            px = x0 - c["body"]
+            x1 = px * c["cp"] - vz * c["sp"]
+            z1 = px * c["sp"] + vz * c["cp"]
+            y1 = y0
+            flip = jnp.signbit(x1)
+            fx = jnp.where(flip, -x1, x1)
+            fy = jnp.where(flip, -y1, y1)
+            coxa_invalid = None
+            if c["gt_possible"]:
+                coxa_invalid = (fy * c["cmax"][0] - fx * c["cmax"][1]) > 0
+            if c["lt_possible"]:
+                lt = (fy * c["cmin"][0] - fx * c["cmin"][1]) < 0
+                coxa_invalid = (
+                    lt if coxa_invalid is None else coxa_invalid | lt
+                )
+            rho = jnp.sqrt(x1 * x1 + y1 * y1)
+            xp = jnp.where(flip, -rho, rho) - c["coxa_len"]
+            yp = z1
+
+            # region bits from per-pose scalars
+            nn = yp >= 0
+            mid_neg = s(off + _MID_NEG) > 0.5
+            crossm = (yp * s(off + _MID_DIR) - xp * s(off + _MID_DIR + 1)) > 0
+            upper = _bsel(nn, mid_neg | crossm, mid_neg & crossm)
+            sat_lo_neg = s(off + _SAT_NEG) > 0.5
+            sat_hi_neg = s(off + _SAT_NEG + 1) > 0.5
+            cross_lo = (
+                yp * s(off + _SAT_DIR) - xp * s(off + _SAT_DIR + 1)
+            ) > 0
+            cross_hi = (
+                yp * s(off + _SAT_DIR + 2) - xp * s(off + _SAT_DIR + 3)
+            ) > 0
+            gt_lo = _bsel(nn, sat_lo_neg | cross_lo, sat_lo_neg & cross_lo)
+            gt_hi = _bsel(nn, sat_hi_neg | cross_hi, sat_hi_neg & cross_hi)
+            ext = upper ^ _bsel(upper, gt_hi, gt_lo)
+
+            # four (region, ext) configurations, linear-form circle tests
+            q2 = xp * xp + yp * yp
+            v = [[None, None], [None, None]]
+            for r in range(2):
+                for e in range(2):
+                    ok = None
+                    for slot in range(4):
+                        idx = r * 8 + e * 4 + slot
+                        t = (
+                            q2
+                            + s(off + _AX + idx) * xp
+                            + s(off + _AY + idx) * yp
+                        )
+                        inside = t <= s(off + _R2K + idx)
+                        near = (t < s(off + _HI2K + idx)) & (
+                            t > s(off + _LO2K + idx)
+                        )
+                        att = s(off + _ATT + idx) > 0.5
+                        good = _bsel(att, inside, ~inside) | near
+                        ok = good if ok is None else ok & good
+                    v[r][e] = ok
+            plane_ok = _bsel(
+                upper,
+                _bsel(ext, v[1][1], v[1][0]),
+                _bsel(ext, v[0][1], v[0][0]),
+            )
+            reach = (
+                plane_ok
+                if coxa_invalid is None
+                else ~coxa_invalid & plane_ok
+            )
+            any_l = jnp.max(reach.astype(jnp.float32), axis=1, keepdims=True)
+            cur = o_ref[:, l : l + 1]
+            o_ref[:, l : l + 1] = jnp.maximum(
+                cur, any_l.astype(jnp.uint8)
+            )
+
+    @jax.jit
+    def fn(tab, gx, gy, gz):
+        P = tab.shape[0]
+        grid = (P // POSE_ROWS, cand_cols // _LANES)
+        tab_spec = pl.BlockSpec(
+            (POSE_ROWS, W), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        )
+        cand_spec = pl.BlockSpec(
+            (POSE_ROWS, _LANES), lambda i, j: (i, j),
+            memory_space=pltpu.VMEM,
+        )
+        out_spec = pl.BlockSpec(
+            (POSE_ROWS, _LANES), lambda i, j: (i, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((P, _LANES), jnp.uint8),
+            grid=grid,
+            in_specs=[tab_spec, cand_spec, cand_spec, cand_spec],
+            out_specs=out_spec,
+            interpret=interpret,
+        )(tab, gx, gy, gz)
+        return out[:, :L] > 0
+
+    return fn

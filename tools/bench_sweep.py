@@ -102,11 +102,13 @@ def main() -> None:
             pts = jnp.asarray(pts_np)
             reach_fn, dist_fn, timed_arg = reach_scalar, dist_scalar, pts
 
-        t_r = chained_timer(reach_fn, timed_arg, leg, args.iters, args.reps)
+        # chain enough evaluations that the slope dwarfs the ~30 ms relay
+        # fetch noise even for tiny batches (~3e8 points per chain)
+        iters = max(args.iters, int(3e8 // max(n, 1)) + 1)
+        t_r = chained_timer(reach_fn, timed_arg, leg, iters, args.reps)
         rows_r.append((n, t_r / n * 1e9))
         if n <= args.max_points // 4:
-            t_d = chained_timer(dist_fn, timed_arg, leg, args.iters,
-                                args.reps)
+            t_d = chained_timer(dist_fn, timed_arg, leg, iters, args.reps)
             rows_d.append((n, t_d / n * 1e9))
         print(
             f"pix={pix:<8g} N={n:<10d} reach={rows_r[-1][1]:.4f} ns/pt"
