@@ -271,3 +271,79 @@ def make_multileg_kernel(
         return out[:, :L] > 0
 
     return fn
+
+
+def pad_grid_soa(grid, sentinel: float = 1e9):
+    """Split a FootholdGrid table into lane-padded SoA component tables.
+
+    One-time prep for the fused solver: ``[n_cells, cap, 3] ->``
+    three ``[n_cells, cap_pad]`` arrays with ``cap_pad`` a multiple of 128
+    (padding = far sentinel, never reachable).
+    """
+    cap = grid.points.shape[1]
+    cap_pad = ((cap + _LANES - 1) // _LANES) * _LANES
+    comps = []
+    for i in range(3):
+        c = grid.points[:, :, i]
+        comps.append(
+            jnp.pad(c, ((0, 0), (0, cap_pad - cap)),
+                    constant_values=np.float32(sentinel))
+        )
+    return tuple(comps), cap_pad
+
+
+def make_fused_grid_solver(
+    robot: LegDimensions, cand_cols: int, interpret: bool = False
+):
+    """Fused-topk grid positionability solver.
+
+    Returns jitted
+    ``solve(body, quats, gx, gy, gz, counts, origin, cell_size, offsets,
+    top_k=, k=, dims=) -> (legs [P, L], quorum [P], overflow [P])``
+    with identical semantics to ops/grid.py ``grid_reachable_legs_topk``
+    but per-leg evaluation running through :func:`make_multileg_kernel`.
+    Grid component tables come from :func:`pad_grid_soa` and MUST be
+    passed as arguments (a closed-over table would be baked into the
+    program as a constant).  ``P`` must be a multiple of ``POSE_ROWS``.
+    """
+    kernel_fn = make_multileg_kernel(robot, cand_cols, interpret)
+    L = int(jax.tree.leaves(robot)[0].shape[0])
+
+    @partial(jax.jit, static_argnames=("top_k", "k", "dims"))
+    def solve(
+        body, quats, gx, gy, gz, counts, origin, cell_size, offsets,
+        top_k: int, k: int, dims: tuple,
+    ):
+        P = body.shape[0]
+        nx, ny, nz = dims
+        base = jnp.floor(
+            (body - origin) / jnp.float32(cell_size)
+        ).astype(jnp.int32)
+        cell = base[:, None, :] + offsets[None, :, :]
+        in_range = jnp.all(
+            (cell >= 0) & (cell < jnp.asarray([nx, ny, nz], jnp.int32)),
+            axis=-1,
+        )
+        cellc = jnp.clip(cell, 0, jnp.asarray([nx - 1, ny - 1, nz - 1]))
+        flat = (cellc[..., 0] * ny + cellc[..., 1]) * nz + cellc[..., 2]
+        cnts = jnp.where(in_range, counts[flat], 0)
+        occupied = cnts > 0
+        overflow = jnp.sum(occupied, axis=-1) > top_k
+        _, sel = jax.lax.top_k(cnts, top_k)
+        sel_flat = jnp.take_along_axis(flat, sel, axis=-1)
+        sel_occ = jnp.take_along_axis(occupied, sel, axis=-1)
+
+        tab = oriented_tables(body, quats, robot)
+
+        def step(acc, idx):
+            fl = sel_flat[:, idx]
+            live = sel_occ[:, idx]
+            legs = kernel_fn(tab, gx[fl], gy[fl], gz[fl])
+            return acc | (legs & live[:, None]), None
+
+        acc0 = jnp.zeros((P, L), bool)
+        legs, _ = jax.lax.scan(step, acc0, jnp.arange(top_k))
+        quorum = jnp.sum(legs, axis=-1) >= jnp.int32(k if k else L)
+        return legs, quorum, overflow
+
+    return solve

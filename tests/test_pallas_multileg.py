@@ -1,0 +1,78 @@
+"""Fused multi-leg kernel parity (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from legmov_tpu.models.robot import get_m2_robot, get_moonbot_robot, make_robot
+from legmov_tpu.models.robot import HEX_MOUNTS
+from legmov_tpu.ops import quaternion as quat
+from legmov_tpu.ops.grid import (
+    build_grid,
+    cell_size_for,
+    grid_reachable_legs_topk,
+    neighbor_offsets,
+)
+from legmov_tpu.ops.orientation import reachability_oriented
+from legmov_tpu.ops.pallas_multileg import (
+    make_fused_grid_solver,
+    make_multileg_kernel,
+    oriented_tables,
+    pad_grid_soa,
+)
+from legmov_tpu.terrain import flat_grid
+
+
+def _poses(P, rng, spread=0.25):
+    body = jnp.asarray(
+        (rng.uniform(-300, 300, (P, 3)) * [1, 1, 0.3]).astype(np.float32)
+    )
+    rpy = rng.uniform(-spread, spread, (P, 3)).astype(np.float32)
+    return body, quat.from_rpy(rpy[:, 0], rpy[:, 1], rpy[:, 2])
+
+
+def test_kernel_matches_oriented_path(rng):
+    for robot in (get_moonbot_robot(), get_m2_robot(),
+                  make_robot(HEX_MOUNTS)):
+        L = int(np.shape(robot.body_angle)[0])
+        P, C = 8, 256
+        body, quats = _poses(P, rng)
+        cands = rng.uniform(-600, 600, (P, C, 3)).astype(np.float32)
+        tab = oriented_tables(body, quats, robot)
+        fn = make_multileg_kernel(robot, C, interpret=True)
+        got = np.asarray(
+            fn(tab, jnp.asarray(cands[..., 0]), jnp.asarray(cands[..., 1]),
+               jnp.asarray(cands[..., 2]))
+        )
+        want = np.zeros((P, L), bool)
+        for p in range(P):
+            rel = jnp.asarray(cands[p]) - body[p]
+            for l in range(L):
+                leg = jax.tree.map(lambda x: x[l], robot)
+                want[p, l] = bool(
+                    jnp.any(reachability_oriented(rel, leg, quats[p]))
+                )
+        np.testing.assert_array_equal(got, want)
+
+
+def test_fused_grid_solver_matches_topk(rng):
+    robot = get_moonbot_robot()
+    reach = cell_size_for(robot)
+    cell = reach / 2
+    fh = flat_grid((-1200, 1201), (-1200, 1201), 90.0, z=-130.0)
+    g = build_grid(fh, cell)
+    offs = jnp.asarray(neighbor_offsets(cell, reach))
+    (gx, gy, gz), cap_pad = pad_grid_soa(g)
+    P = 16
+    body, quats = _poses(P, rng)
+    solver = make_fused_grid_solver(robot, cap_pad, interpret=True)
+    legs_f, quorum_f, ovf_f = solver(
+        body, quats, gx, gy, gz, g.counts, g.origin, g.cell_size, offs,
+        top_k=80, k=4, dims=g.dims,
+    )
+    legs_t, quorum_t, ovf_t = grid_reachable_legs_topk(
+        body, quats, g, robot, offs, top_k=80, k=4
+    )
+    np.testing.assert_array_equal(np.asarray(legs_f), np.asarray(legs_t))
+    np.testing.assert_array_equal(np.asarray(quorum_f), np.asarray(quorum_t))
+    np.testing.assert_array_equal(np.asarray(ovf_f), np.asarray(ovf_t))

@@ -75,6 +75,9 @@ def main() -> None:
     ap.add_argument("--topk", action="store_true", default=True,
                     help="compact to each pose's occupied neighbor cells")
     ap.add_argument("--no-topk", dest="topk", action="store_false")
+    ap.add_argument("--fused", action="store_true", default=True,
+                    help="use the fused multi-leg Pallas kernel")
+    ap.add_argument("--no-fused", dest="fused", action="store_false")
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
@@ -136,6 +139,34 @@ def main() -> None:
     # a constant (and blow up the remote-compile request).
     from functools import partial
 
+    fused_solver = None
+    fused_args = ()
+    if args.fused and top_k:
+        from legmov_tpu.ops.pallas_multileg import (
+            make_fused_grid_solver,
+            pad_grid_soa,
+        )
+
+        (gxp, gyp, gzp), cap_pad = pad_grid_soa(grid)
+        fused_solver = make_fused_grid_solver(robot, cap_pad)
+        fused_args = (gxp, gyp, gzp, grid.counts, grid.origin,
+                      grid.cell_size, offs)
+        print(f"fused multi-leg kernel: cap_pad={cap_pad}", flush=True)
+
+    @partial(jax.jit, static_argnames=("iters", "kk", "tk"))
+    def chain_fused(b, q, gxp, gyp, gzp, counts, origin, cell_size, off,
+                    iters, kk, tk):
+        def bodyf(_, acc):
+            legs, quorum, _ = fused_solver(
+                b + acc, q, gxp, gyp, gzp, counts, origin, cell_size, off,
+                top_k=tk, k=kk, dims=grid.dims,
+            )
+            return acc + jnp.float32(1e-7) * jnp.sum(
+                quorum.astype(jnp.float32)
+            )
+
+        return jax.lax.fori_loop(0, iters, bodyf, jnp.float32(0.0))
+
     @partial(jax.jit, static_argnames=("iters", "kk", "tk"))
     def chain(b, q, g, rb, off, iters, kk, tk):
         def bodyf(_, acc):
@@ -153,19 +184,30 @@ def main() -> None:
 
         return jax.lax.fori_loop(0, iters, bodyf, jnp.float32(0.0))
 
+    def run_chain(it):
+        if fused_solver is not None:
+            return chain_fused(body_d, quats_d, *fused_args, it, k, top_k)
+        return chain(body_d, quats_d, grid, robot, offs, it, k, top_k)
+
     def timed(it):
-        float(chain(body_d, quats_d, grid, robot, offs, it, k, top_k))
+        float(run_chain(it))
         ts = []
         for _ in range(args.reps):
             t0 = time.perf_counter()
-            float(chain(body_d, quats_d, grid, robot, offs, it, k, top_k))
+            float(run_chain(it))
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
 
     t1 = timed(1)
     tk = timed(args.iters)
     per = max((tk - t1) / (args.iters - 1), 1e-12)
-    if top_k:
+    if fused_solver is not None:
+        legs_r, quorum_r, overflow_r = fused_solver(
+            body_d, quats_d, *fused_args, top_k=top_k, k=k, dims=grid.dims
+        )
+        feasible = int(np.asarray(quorum_r).sum())
+        assert not np.asarray(overflow_r).any(), "top_k undersized"
+    elif top_k:
         legs_r, quorum_r, overflow_r = grid_reachable_legs_topk(
             body_d, quats_d, grid, robot, offs, top_k=top_k, k=k
         )
@@ -192,6 +234,7 @@ def main() -> None:
         "solve_s_per_chunk": round(per, 4),
         "candidate_points_per_pose": (top_k or int(offs.shape[0])) * cap,
         "top_k": top_k,
+        "impl": "pallas-fused" if fused_solver is not None else "xla",
         "device": jax.devices()[0].platform,
     }
     print(json.dumps(result))
