@@ -239,11 +239,14 @@ def make_multileg_kernel(
                 if coxa_invalid is None
                 else ~coxa_invalid & plane_ok
             )
-            any_l = jnp.max(reach.astype(jnp.float32), axis=1, keepdims=True)
-            cur = o_ref[:, l : l + 1]
-            o_ref[:, l : l + 1] = jnp.maximum(
-                cur, any_l.astype(jnp.uint8)
+            # lane reduction + accumulate; Mosaic has no f32->u8 cast, so
+            # reduce in f32, rebool, and store via the (supported) i1->u8
+            any_l = (
+                jnp.max(reach.astype(jnp.float32), axis=1, keepdims=True)
+                > 0
             )
+            cur = o_ref[:, l : l + 1] > 0
+            o_ref[:, l : l + 1] = (cur | any_l).astype(jnp.uint8)
 
     @jax.jit
     def fn(tab, gx, gy, gz):
