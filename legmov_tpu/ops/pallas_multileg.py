@@ -245,8 +245,9 @@ def make_multileg_kernel(
                 jnp.max(reach.astype(jnp.float32), axis=1, keepdims=True)
                 > 0
             )
-            cur = o_ref[:, l : l + 1] > 0
-            o_ref[:, l : l + 1] = (cur | any_l).astype(jnp.uint8)
+            cur = o_ref[:, l : l + 1] > 0  # i32 accumulator (u8 compares
+            # and f32->u8 casts are unsupported on this Mosaic target)
+            o_ref[:, l : l + 1] = (cur | any_l).astype(jnp.int32)
 
     @jax.jit
     def fn(tab, gx, gy, gz):
@@ -265,7 +266,7 @@ def make_multileg_kernel(
         )
         out = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((P, _LANES), jnp.uint8),
+            out_shape=jax.ShapeDtypeStruct((P, _LANES), jnp.int32),
             grid=grid,
             in_specs=[tab_spec, cand_spec, cand_spec, cand_spec],
             out_specs=out_spec,
