@@ -141,12 +141,10 @@ def make_multileg_kernel(
         )
 
     def kernel(tab_ref, x_ref, y_ref, z_ref, o_ref):
-        j = pl.program_id(1)
-
-        @pl.when(j == 0)
-        def _init():
-            o_ref[...] = jnp.zeros_like(o_ref)
-
+        # one grid step per pose tile; the whole candidate axis lives in
+        # one [POSE_ROWS, cand_cols] block (a [8, 128]-tile grid over the
+        # candidate axis costs millions of tiny grid steps and is
+        # overhead-bound)
         def s(i):
             return tab_ref[:, i : i + 1]  # [8, 1] broadcastable scalar
 
@@ -239,29 +237,27 @@ def make_multileg_kernel(
                 if coxa_invalid is None
                 else ~coxa_invalid & plane_ok
             )
-            # lane reduction + accumulate; Mosaic has no f32->u8 cast, so
-            # reduce in f32, rebool, and store via the (supported) i1->u8
+            # lane reduction in f32 (no i1 reductions / u8 casts on this
+            # Mosaic target), one write per leg
             any_l = (
                 jnp.max(reach.astype(jnp.float32), axis=1, keepdims=True)
                 > 0
             )
-            cur = o_ref[:, l : l + 1] > 0  # i32 accumulator (u8 compares
-            # and f32->u8 casts are unsupported on this Mosaic target)
-            o_ref[:, l : l + 1] = (cur | any_l).astype(jnp.int32)
+            o_ref[:, l : l + 1] = any_l.astype(jnp.int32)
 
     @jax.jit
     def fn(tab, gx, gy, gz):
         P = tab.shape[0]
-        grid = (P // POSE_ROWS, cand_cols // _LANES)
+        grid = (P // POSE_ROWS,)
         tab_spec = pl.BlockSpec(
-            (POSE_ROWS, W), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            (POSE_ROWS, W), lambda i: (i, 0), memory_space=pltpu.VMEM
         )
         cand_spec = pl.BlockSpec(
-            (POSE_ROWS, _LANES), lambda i, j: (i, j),
+            (POSE_ROWS, cand_cols), lambda i: (i, 0),
             memory_space=pltpu.VMEM,
         )
         out_spec = pl.BlockSpec(
-            (POSE_ROWS, _LANES), lambda i, j: (i, 0),
+            (POSE_ROWS, _LANES), lambda i: (i, 0),
             memory_space=pltpu.VMEM,
         )
         out = pl.pallas_call(
