@@ -59,3 +59,13 @@ def test_fk_batch_shape():
     leg = get_moonbot_leg()
     out = forward_kinematics(jnp.zeros((5, 7, 3), jnp.float32), leg)
     assert out.shape == (5, 7, 3)
+
+
+def test_stats_helpers():
+    from legmov_tpu.stats import close, mean_stddev, median
+
+    assert median([3.0, 1.0, 2.0]) == 2.0
+    assert median([4.0, 1.0, 2.0, 3.0]) == 2.5
+    m, s = mean_stddev([2.0, 4.0])
+    assert m == 3.0 and s == 1.0
+    assert close(1.0, 1.0 + 1e-6) and not close(1.0, 1.1)
