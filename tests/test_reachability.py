@@ -97,3 +97,43 @@ def test_tibia_absolute_limit_blocks_horizontal():
     x = float(leg.body + leg.coxa_length + leg.femur_length + leg.tibia_length) - 0.5
     out = np.asarray(reachability_batch(jnp.asarray([[x, 0.0, 0.0]], dtype=jnp.float32), leg))
     assert not bool(out[0])
+
+
+def test_nonfinite_points_unreachable_no_crash():
+    """NaN/inf coordinates must report unreachable (and never poison
+    neighboring lanes), across the XLA and Pallas paths."""
+    import jax.numpy as jnp
+    from legmov_tpu import distance_batch, forward_kinematics
+    from legmov_tpu.ops.pallas_kernels import make_reachability_kernel
+
+    leg = get_moonbot_leg()
+    good = np.asarray(
+        forward_kinematics(jnp.array([0.0, -0.3, 0.3], jnp.float32), leg)
+    )
+    pts = np.array(
+        [
+            [np.nan, 0, 0],
+            [np.inf, 0, 0],
+            [-np.inf, 0, 0],
+            [0, np.nan, np.inf],
+            good,
+        ],
+        np.float32,
+    )
+    want = [False, False, False, False, True]
+    r = np.asarray(reachability_batch(jnp.asarray(pts), leg))
+    np.testing.assert_array_equal(r, want)
+    ok, vec = distance_batch(jnp.asarray(pts), leg)
+    np.testing.assert_array_equal(np.asarray(ok), want)
+    kr = make_reachability_kernel(leg, interpret=True)
+    np.testing.assert_array_equal(np.asarray(kr(jnp.asarray(pts))), want)
+
+
+def test_empty_batch():
+    import jax.numpy as jnp
+
+    leg = get_moonbot_leg()
+    out = np.asarray(
+        reachability_batch(jnp.zeros((0, 3), jnp.float32), leg)
+    )
+    assert out.shape == (0,)
