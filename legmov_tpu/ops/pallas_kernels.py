@@ -351,6 +351,10 @@ def make_distance_kernel(leg: LegDimensions, block_rows: int = 128,
             cx, cy = clamps[s]
             ok = None
             for t in range(4):
+                if t == s:
+                    # a clamp lies on its own circumference (inside the
+                    # CIRCLE_MARGIN band) — self-validation is always true
+                    continue
                 good = circ_valid(cx, cy, t)
                 ok = good if ok is None else ok & good
             s2 = jnp.where(ok, scores[s], big)
