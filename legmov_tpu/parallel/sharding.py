@@ -122,3 +122,37 @@ def sharded_positionable(mesh: Mesh, k: int | None = None):
         )(body_pos, body_quat, footholds, robot)
 
     return fn
+
+
+def sharded_grid_positionable(mesh: Mesh, k: int = 0):
+    """Map-scale positionability sharded over the ``poses`` mesh axis.
+
+    ``(body_pos [P,3], body_quat [P,4], grid: FootholdGrid, robot,
+    offsets [K,3]) -> [P] bool`` with the pose batch split across every
+    chip and the bucket-grid tables replicated (terrain tables are tens of
+    MB — BASELINE.json's "footholds replicated, poses sharded" layout).
+    No collectives are needed; per-pose quorum is chip-local.
+    """
+    from legmov_tpu.ops.grid import grid_reachable_legs
+
+    n_shards = int(np.prod(list(mesh.shape.values())))
+
+    @jax.jit
+    def fn(body_pos, body_quat, grid, robot, offsets):
+        def local(b, q, g, rb, off):
+            legs, quorum = grid_reachable_legs(b, q, g, rb, k=k, offsets=off)
+            return quorum
+
+        # check_vma off: grid_reachable_legs' scan carry starts replicated
+        # and becomes device-varying, which the varying-axes checker
+        # rejects even though the computation is purely per-shard
+        return jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(("poses", "points")), P(("poses", "points")),
+                      P(), P(), P()),
+            out_specs=P(("poses", "points")),
+            check_vma=False,
+        )(body_pos, body_quat, grid, robot, offsets)
+
+    return fn

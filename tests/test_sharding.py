@@ -68,3 +68,32 @@ def test_sharded_positionable_matches(mesh, rng=np.random.default_rng(9)):
     got = sharded_positionable(mesh, k=3)(body_pos, body_quat, footholds, robot)
     want = positionable(body_pos, body_quat, footholds, robot, k=3)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_sharded_grid_positionable_matches(mesh):
+    from legmov_tpu.models.robot import get_moonbot_robot
+    from legmov_tpu.ops.grid import (
+        build_grid,
+        cell_size_for,
+        grid_reachable_legs,
+        neighbor_offsets,
+    )
+    from legmov_tpu.parallel.sharding import sharded_grid_positionable
+    from legmov_tpu.terrain import flat_grid
+
+    rng = np.random.default_rng(12)
+    robot = get_moonbot_robot()
+    reach = cell_size_for(robot)
+    fh = flat_grid((-1500, 1501), (-1500, 1501), 90.0, z=-130.0)
+    g = build_grid(fh, reach / 2)
+    offs = jnp.asarray(neighbor_offsets(reach / 2, reach))
+    Pn = 64
+    body = jnp.asarray(
+        (rng.uniform(-1000, 1000, (Pn, 3)) * [1, 1, 0.1]).astype(np.float32)
+    )
+    rpy = rng.uniform(-0.2, 0.2, (Pn, 3)).astype(np.float32)
+    quats = quat.from_rpy(rpy[:, 0], rpy[:, 1], rpy[:, 2])
+
+    got = sharded_grid_positionable(mesh, k=3)(body, quats, g, robot, offs)
+    _, want = grid_reachable_legs(body, quats, g, robot, k=3, offsets=offs)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
