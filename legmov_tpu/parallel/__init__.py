@@ -13,6 +13,7 @@ from legmov_tpu.parallel.sharding import (
     sharded_reachability,
     sharded_distance,
     sharded_positionable,
+    sharded_grid_positionable,
 )
 
 __all__ = [
@@ -20,4 +21,5 @@ __all__ = [
     "sharded_reachability",
     "sharded_distance",
     "sharded_positionable",
+    "sharded_grid_positionable",
 ]
