@@ -29,7 +29,6 @@ import numpy as np
 
 from legmov_tpu.models.leg import LegDimensions
 from legmov_tpu.ops.orientation import reachability_oriented
-from legmov_tpu.ops.quaternion import IDENTITY
 
 _SENTINEL = np.float32(1e9)
 

@@ -22,7 +22,6 @@ threshold compares, same fold order).
 
 from __future__ import annotations
 
-import functools
 import math
 
 import jax

@@ -21,7 +21,6 @@ import numpy as np
 from legmov_tpu.config import CIRCLE_MARGIN
 from legmov_tpu.models.workspace import (
     LegWorkspace,
-    select_circles,
     select_validate_tables,
 )
 

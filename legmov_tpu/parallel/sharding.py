@@ -17,8 +17,6 @@ explicit; single-device meshes degenerate to plain jit.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -134,8 +132,6 @@ def sharded_grid_positionable(mesh: Mesh, k: int = 0):
     No collectives are needed; per-pose quorum is chip-local.
     """
     from legmov_tpu.ops.grid import grid_reachable_legs
-
-    n_shards = int(np.prod(list(mesh.shape.values())))
 
     @jax.jit
     def fn(body_pos, body_quat, grid, robot, offsets):

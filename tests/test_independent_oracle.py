@@ -81,7 +81,6 @@ def test_lm_ik_oracle_agrees():
     circle decomposition) must agree with the closed-form reachability on
     >= 99.5% of random points, with any disagreements attributable to IK
     convergence near the workspace boundary."""
-    from legmov_tpu import distance_batch
     from legmov_tpu.oracle.ik_oracle import ik_reachability
 
     leg = get_moonbot_leg()

@@ -3,7 +3,6 @@
 import numpy as np
 import jax.numpy as jnp
 
-from legmov_tpu.config import PruneConfig
 from legmov_tpu.models.pipeline import (
     full_positionability,
     reach_cylinder_params,

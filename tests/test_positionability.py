@@ -9,7 +9,6 @@ foothold reachable" (several_leg.cu:707-741), quorum count
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from legmov_tpu import forward_kinematics, get_moonbot_leg
 from legmov_tpu.models.robot import (

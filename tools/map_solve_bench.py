@@ -26,7 +26,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from bench import chained_timer  # noqa: E402  (slope-timing helper)
 from legmov_tpu.models.robot import HEX_MOUNTS, QUAD_MOUNTS, make_robot
 from legmov_tpu.ops import quaternion as quat
 from legmov_tpu.ops.grid import (build_grid, cell_size_for,
