@@ -293,7 +293,8 @@ def pad_grid_soa(grid, sentinel: float = 1e9):
 
 
 def make_fused_grid_solver(
-    robot: LegDimensions, cand_cols: int, interpret: bool = False
+    robot: LegDimensions, cand_cols: int, interpret: bool = False,
+    group: int = 4,
 ):
     """Fused-topk grid positionability solver.
 
@@ -305,8 +306,12 @@ def make_fused_grid_solver(
     Grid component tables come from :func:`pad_grid_soa` and MUST be
     passed as arguments (a closed-over table would be baked into the
     program as a constant).  ``P`` must be a multiple of ``POSE_ROWS``.
+
+    ``group`` cells are gathered per kernel call (fewer, wider launches);
+    dead/out-of-range cells are neutralized by overwriting their gathered
+    coordinates with the far sentinel before the kernel sees them.
     """
-    kernel_fn = make_multileg_kernel(robot, cand_cols, interpret)
+    kernel_fn = make_multileg_kernel(robot, cand_cols * group, interpret)
     L = int(jax.tree.leaves(robot)[0].shape[0])
 
     @partial(jax.jit, static_argnames=("top_k", "k", "dims"))
@@ -329,20 +334,40 @@ def make_fused_grid_solver(
         cnts = jnp.where(in_range, counts[flat], 0)
         occupied = cnts > 0
         overflow = jnp.sum(occupied, axis=-1) > top_k
-        _, sel = jax.lax.top_k(cnts, top_k)
+        # round the step count up to a group multiple (extra slots select
+        # the least-occupied cells, masked dead below); pad the candidate
+        # columns if the offset ball is smaller than the rounded count
+        tk = ((top_k + group - 1) // group) * group
+        short = tk - cnts.shape[1]
+        if short > 0:
+            cnts = jnp.pad(cnts, ((0, 0), (0, short)))
+            flat = jnp.pad(flat, ((0, 0), (0, short)))
+            occupied = jnp.pad(occupied, ((0, 0), (0, short)))
+        _, sel = jax.lax.top_k(cnts, tk)
         sel_flat = jnp.take_along_axis(flat, sel, axis=-1)
         sel_occ = jnp.take_along_axis(occupied, sel, axis=-1)
 
         tab = oriented_tables(body, quats, robot)
+        sentinel = jnp.float32(1e9)
 
         def step(acc, idx):
-            fl = sel_flat[:, idx]
-            live = sel_occ[:, idx]
-            legs = kernel_fn(tab, gx[fl], gy[fl], gz[fl])
-            return acc | (legs & live[:, None]), None
+            # gather `group` cells per call -> [P, group * cand_cols]
+            fl = jax.lax.dynamic_slice_in_dim(sel_flat, idx * group, group, 1)
+            live = jax.lax.dynamic_slice_in_dim(
+                sel_occ, idx * group, group, 1
+            )  # [P, group]
+            mask = live[:, :, None]
+
+            def take(tab3):
+                g = tab3[fl]  # [P, group, cand_cols]
+                g = jnp.where(mask, g, sentinel)
+                return g.reshape(P, -1)
+
+            legs = kernel_fn(tab, take(gx), take(gy), take(gz))
+            return acc | legs, None
 
         acc0 = jnp.zeros((P, L), bool)
-        legs, _ = jax.lax.scan(step, acc0, jnp.arange(top_k))
+        legs, _ = jax.lax.scan(step, acc0, jnp.arange(tk // group))
         quorum = jnp.sum(legs, axis=-1) >= jnp.int32(k if k else L)
         return legs, quorum, overflow
 
