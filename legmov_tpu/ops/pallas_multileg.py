@@ -294,8 +294,12 @@ def pad_grid_soa(grid, sentinel: float = 1e9):
 
 def make_fused_grid_solver(
     robot: LegDimensions, cand_cols: int, interpret: bool = False,
-    group: int = 4,
+    group: int = 1,
 ):
+    # NOTE on `group`: wider candidate blocks amortize launches, but the
+    # kernel's live tiles scale with block width x legs — at cap_pad ~5k
+    # and 6 legs, group=4 overflows the 16 MB VMEM scoped stack. group=1
+    # is safe for hexapods at large cap; raise it for small caps/robots.
     """Fused-topk grid positionability solver.
 
     Returns jitted
