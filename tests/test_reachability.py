@@ -137,3 +137,47 @@ def test_empty_batch():
         reachability_batch(jnp.zeros((0, 3), jnp.float32), leg)
     )
     assert out.shape == (0,)
+
+
+def test_golden_boundary_points_on_x_axis():
+    """Reference one_leg.cpp:100-139 methodology: on the x axis, points at
+    body + coxa +- (min|max)_femur_to_gripper +- eps must flip reachability
+    exactly at the workspace boundary (eps well outside CIRCLE_MARGIN)."""
+    import jax.numpy as jnp
+
+    leg = get_moonbot_leg()
+    body = float(np.asarray(leg.body))
+    coxa = float(np.asarray(leg.coxa_length))
+    fem = float(np.asarray(leg.femur_length))
+    tib = float(np.asarray(leg.tibia_length))
+    min_tib = float(np.asarray(leg.min_angle_tibia))
+    # min femur->tip distance (leg_geometry.cu.h:12-25)
+    mx = fem + tib * np.cos(min_tib)
+    my = tib * np.sin(min_tib)
+    min_fg = float(np.hypot(mx, my))
+    # at z = 0 the far boundary is NOT full extension (the absolute-tibia
+    # limit forbids a horizontal tibia): it is the fromabove+ circle,
+    # center tib*(cos,sin)(abs_pos), radius femur (circles.cu.h:98-106)
+    abs_pos = float(np.asarray(leg.tibia_absolute_pos))
+    fa_cx = tib * np.cos(abs_pos)
+    fa_cy = tib * np.sin(abs_pos)
+    max_x = float(fa_cx + np.sqrt(fem * fem - fa_cy * fa_cy))
+    eps = 0.5  # mm
+
+    pts = np.array(
+        [
+            [body + coxa + max_x - eps, 0.0, 0.0],  # just inside the far edge
+            [body + coxa + max_x + eps, 0.0, 0.0],  # just outside
+            [body + coxa + min_fg + eps, 0.0, 0.0],  # just outside inner
+            [body + coxa + min_fg - eps, 0.0, 0.0],  # just inside inner
+        ],
+        np.float32,
+    )
+    got = np.asarray(reachability_batch(jnp.asarray(pts), leg))
+    np.testing.assert_array_equal(got, [True, False, True, False])
+
+    # the distance magnitude at the just-outside points must be ~eps
+    from legmov_tpu import distance_batch
+
+    _, vec = distance_batch(jnp.asarray(pts[[1]]), leg)
+    assert abs(float(np.linalg.norm(np.asarray(vec))) - eps) < 0.05
