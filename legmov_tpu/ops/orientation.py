@@ -31,7 +31,14 @@ _f32 = jnp.float32
 def rotate_leg_data(q: jnp.ndarray, leg: LegDimensions) -> LegDimensions:
     """Shift the absolute-tibia limits by the body pitch in the leg frame.
 
-    Semantics of reference one_leg_global.cu:48-60.
+    Semantics of reference one_leg_global.cu:48-60.  Note this is the
+    reference's deliberate approximation: ONE pitch shift is applied per
+    leg, while the true tilt of a target's vertical plane varies with the
+    target's coxa yaw theta (error ~ pitch * (1 - cos theta) +
+    roll * sin theta; exact at theta = 0 and for pure-yaw body rotations).
+    We reproduce the model faithfully; see
+    tests/test_fk_property.py::test_fk_oriented_property for how it is
+    validated against joint-space semantics.
     """
     pitch = quat.pitch_in_frame(q, leg.body_angle)
     return leg.replace(
