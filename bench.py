@@ -38,6 +38,15 @@ import numpy as np
 BASE_REACH_NS = 0.403
 BASE_DIST_NS = 1.437
 
+# Chip roofline model (v5e HBM ~819 GB/s).  Minimum HBM traffic per point:
+# reachability reads 3 f32 coords and writes 1 bool (13 B); distance reads
+# 3 f32 and writes 1 bool + 3 f32 (25 B).  Both kernels are far above the
+# VPU compute bound only for reachability; distance is compute-bound, so
+# the % figures report how close each kernel is to the *memory* ceiling.
+HBM_GBPS = 819.0
+REACH_BYTES_PER_PT = 13.0
+DIST_BYTES_PER_PT = 25.0
+
 
 def make_grid(n: int) -> jnp.ndarray:
     """Device-resident 3-D grid covering the leg's surroundings.
@@ -56,42 +65,66 @@ def make_grid(n: int) -> jnp.ndarray:
     return g.reshape(-1, 3)
 
 
-def chained_timer(eval_fn, pts, leg, k: int, reps: int) -> float:
-    """Median seconds per evaluation via the K-dependent-iterations slope.
+def chained_timer_samples(eval_fn, pts, leg, k: int, reps: int) -> list:
+    """Per-rep seconds-per-evaluation samples via the K-iterations slope.
 
     ``eval_fn(points, leg) -> scalar float32`` must reduce its full output
-    to a scalar (so each iteration really computes everything).
+    to a scalar (so each iteration really computes everything).  ``pts``
+    may be any pytree of arrays (e.g. an SoA component tuple) — it is
+    passed as a jit *argument*, never closed over, so large point arrays
+    are not baked into the compiled program as constants.
+
+    The chain length is a traced operand (``fori_loop`` with a dynamic
+    trip count), so one compiled program serves both the K=1 baseline and
+    the K=k run — one compile per (eval_fn, shapes) instead of two.
     """
 
-    @partial(jax.jit, static_argnames="iters")
+    @jax.jit
     def chain(pts, leg, iters):
+        leaves, treedef = jax.tree.flatten(pts)
+
         def body(_, acc):
-            s = eval_fn(pts + acc, leg)
+            # perturb ONLY the first leaf: enough to serialize the chain
+            # (every iteration depends on the previous scalar), while the
+            # extra HBM traffic stays at one read+write per point instead
+            # of one per component
+            p = jax.tree.unflatten(
+                treedef, [leaves[0] + acc] + leaves[1:]
+            )
+            s = eval_fn(p, leg)
             return acc + jnp.float32(1e-9) * s
 
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+        return jax.lax.fori_loop(
+            0, iters, body, jnp.float32(0.0), unroll=False
+        )
 
-    def timed(iters: int) -> float:
+    def timed(iters: int, n: int) -> list:
         float(chain(pts, leg, iters))  # compile + warm
         ts = []
-        for _ in range(reps):
+        for _ in range(n):
             t0 = time.perf_counter()
             float(chain(pts, leg, iters))  # scalar fetch forces completion
             ts.append(time.perf_counter() - t0)
-        # relay noise is one-sided (delays only — the scalar fetch cannot
-        # return before the chain is computed), so min is the estimator
-        return float(np.min(ts))
+        return ts
 
-    # retry with longer chains if contention noise swamps the slope
+    # relay noise is one-sided (delays only — the scalar fetch cannot
+    # return before the chain is computed), so min is the baseline
+    # estimator; retry with longer chains if contention noise swamps the
+    # slope entirely
     kk = k
     for _ in range(3):
-        t1 = timed(1)
-        tk = timed(kk)
-        slope = (tk - t1) / (kk - 1)
-        if slope > 0:
-            return slope
+        t1 = min(timed(1, reps))
+        tks = timed(kk, reps)
+        slopes = [(tk - t1) / (kk - 1) for tk in tks]
+        if float(np.median(slopes)) > 0:
+            return slopes
         kk *= 4
-    return max(slope, 1e-12)
+    return [max(s, 1e-12) for s in slopes]
+
+
+def chained_timer(eval_fn, pts, leg, k: int, reps: int) -> float:
+    """Best (min) seconds per evaluation — see chained_timer_samples."""
+    return float(np.min(chained_timer_samples(eval_fn, pts, leg, k, reps)))
 
 
 def main() -> None:
@@ -155,20 +188,23 @@ def main() -> None:
                     for i in range(3)
                 )
 
-            rx, ry, rz = to_soa(pts)
-            dx_, dy_, dz_ = to_soa(pts_d)
+            # SoA components are threaded through chained_timer as jit
+            # arguments — closing a jitted fn over ~64 MB device arrays
+            # would bake them in as constants (remote-compile HTTP 413).
+            comps_r = to_soa(pts)
+            comps_d = to_soa(pts_d)
 
-            def reach_scalar_p(x, _leg):
-                return jnp.sum(kr.soa(x, ry, rz).astype(jnp.float32))
+            def reach_scalar_p(c, _leg):
+                return jnp.sum(kr.soa(*c).astype(jnp.float32))
 
-            def dist_scalar_p(x, _leg):
-                ok, vx, vy, vz = kd.soa(x, dy_, dz_)
+            def dist_scalar_p(c, _leg):
+                ok, vx, vy, vz = kd.soa(*c)
                 return jnp.sum(vx) + jnp.sum(ok.astype(jnp.float32))
 
-            t_reach = chained_timer(reach_scalar_p, rx, leg, args.iters,
+            t_reach = chained_timer(reach_scalar_p, comps_r, leg, args.iters,
                                     args.reps)
             reach_ns = t_reach / n_reach * 1e9
-            t_dist = chained_timer(dist_scalar_p, dx_, leg, args.iters,
+            t_dist = chained_timer(dist_scalar_p, comps_d, leg, args.iters,
                                    args.reps)
             dist_ns = t_dist / n_dist * 1e9
             impl = "pallas-soa"
@@ -198,6 +234,14 @@ def main() -> None:
         "distance_vs_baseline": round(BASE_DIST_NS / dist_ns, 4),
         "points_reach": n_reach,
         "points_dist": n_dist,
+        # roofline: minimum-HBM-traffic bound per point and what fraction
+        # of that ceiling each kernel achieves (100% = memory-bound SOL)
+        "reach_hbm_bound_ns": round(REACH_BYTES_PER_PT / HBM_GBPS, 4),
+        "reach_pct_of_hbm_roofline": round(
+            100.0 * (REACH_BYTES_PER_PT / HBM_GBPS) / reach_ns, 1),
+        "dist_hbm_bound_ns": round(DIST_BYTES_PER_PT / HBM_GBPS, 4),
+        "dist_pct_of_hbm_roofline": round(
+            100.0 * (DIST_BYTES_PER_PT / HBM_GBPS) / dist_ns, 1),
         "impl": impl,
         "device": str(dev.platform),
     }

@@ -142,42 +142,66 @@ def _eval_cells(
             def per_leg(leg):
                 ok, dv = distance_oriented(vect, leg, qi)
                 # boundary-crossing test on the displacement vector
-                # (several_leg_octree.cu:96-105)
-                cross_big = jnp.all((dv > -half) & (dv <= half), axis=-1)
+                # (several_leg_octree.cu:96-105); the inactive-rotation
+                # margin widens the cell box on every axis, matching the
+                # reference's ``zerobox.topOffset + margin`` intent
+                hm = half + jnp.float32(margin)
+                cross_big = jnp.all((dv > -hm) & (dv <= hm), axis=-1)
                 dv2 = jnp.sum(dv * dv, axis=-1)
                 cross_small = dv2 < h2 + jnp.float32(margin)
                 cross = jnp.where(big_cell, cross_big, cross_small)
-                return ok & pre, cross
+                return ok & pre, cross & pre
 
             oks, crosses = jax.vmap(per_leg)(robot)  # [L, C, Fc]
             reach_count = jnp.sum(oks, axis=0)
             cross_count = jnp.sum(crosses, axis=0)
             item_valid = ((reach_count >= k) | parent_valid[:, None]) & pre
             item_edge = (cross_count > (L - k)) & pre
-            return item_valid, item_edge, jnp.any(oks, axis=-1)  # [C,Fc],[C,Fc],[L,C]
+            # per-leg-rule certainty bands: a leg is *certainly* valid in
+            # the whole cell if some reachable foothold's boundary vector
+            # does NOT cross the cell; *possibly* valid if some foothold
+            # is reachable or boundary-crossing
+            certain = jnp.any(oks & ~crosses, axis=-1)  # [L, C]
+            possible = jnp.any(oks | crosses, axis=-1)  # [L, C]
+            return (
+                item_valid, item_edge, jnp.any(oks, axis=-1),
+                certain, possible,
+            )
 
-        iv, ie, la = jax.vmap(per_quat)(q)  # [S, C, Fc] / [S, L, C]
+        iv, ie, la, lc, lp = jax.vmap(per_quat)(q)  # [S,C,Fc] / [S,L,C]
         leaf = iv & jnp.logical_not(ie)
         any_valid |= jnp.any(iv, axis=(0, 2))
         any_edge |= jnp.any(ie, axis=(0, 2))
         any_leaf |= jnp.any(leaf, axis=(0, 2))
-        leg_any |= la
+        leg_any = (leg_any[0] | la, leg_any[1] | lc, leg_any[2] | lp)
         return (any_valid, any_edge, any_leaf, leg_any), None
 
     init = (
         jnp.zeros(C, bool),
         jnp.zeros(C, bool),
         jnp.zeros(C, bool),
-        jnp.zeros((S, L, C), bool),
+        (
+            jnp.zeros((S, L, C), bool),  # any reachable foothold
+            jnp.zeros((S, L, C), bool),  # certainly valid across the cell
+            jnp.zeros((S, L, C), bool),  # possibly valid somewhere in it
+        ),
     )
     (any_valid, any_edge, any_leaf, leg_any), _ = jax.lax.scan(
         per_chunk, init, fh
     )
     if not shared:
         # each leg may claim its own foothold: count legs with any
-        # reachable foothold, per orientation; quorum over that count
-        counts = jnp.sum(leg_any, axis=1)  # [S, C]
+        # reachable foothold, per orientation; quorum over that count.
+        # The edge criterion is re-derived for THIS rule (not borrowed
+        # from the shared-foothold crossing counts): the cell straddles
+        # the quorum boundary iff the certainly-valid leg count is below
+        # k while the possibly-valid count reaches it.
+        la, lc, lp = leg_any
+        counts = jnp.sum(la, axis=1)  # [S, C]
+        n_min = jnp.sum(lc, axis=1)  # [S, C] certain lower bound
+        n_max = jnp.sum(lp, axis=1)  # [S, C] optimistic upper bound
         any_valid = jnp.any(counts >= k, axis=0) | parent_valid
+        any_edge = jnp.any((n_min < k) & (n_max >= k), axis=0)
         any_leaf = any_valid & jnp.logical_not(any_edge)
     return any_valid, any_edge, any_leaf
 

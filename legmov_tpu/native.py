@@ -82,6 +82,11 @@ def bucket_grid(
     counts = np.zeros(n_cells, np.int32)
     if lib is None:
         idx = np.floor((pts - origin) / cell).astype(np.int64)
+        if idx.size and ((idx < 0).any() or (idx >= dims_a).any()):
+            # match the native path's behavior — a silent scatter into a
+            # wrong cell (negative indices wrap in NumPy) must not differ
+            # between backends
+            raise ValueError("bucket_grid: point outside grid dims")
         flat = (idx[:, 0] * dims_a[1] + idx[:, 1]) * dims_a[2] + idx[:, 2]
         order = np.argsort(flat, kind="stable")
         fs = flat[order]

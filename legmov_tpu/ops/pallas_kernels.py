@@ -250,12 +250,18 @@ def make_reachability_kernel(leg: LegDimensions, block_rows: int = 256,
 
 
 def make_distance_kernel(leg: LegDimensions, block_rows: int = 128,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         ablate: frozenset = frozenset()):
     """Jitted ``[N, 3] -> ([N] bool, [N, 3])`` Pallas distance evaluator.
 
     Semantics of ops/distance.py ``distance_xyz`` (incl. the pi-flip dual
     evaluation, coxa saturation and the limit-plane alternative) with the
     leg workspace baked in.
+
+    ``ablate`` is for PROFILING ONLY (tools/dist_kernel_probe.py): members
+    of {"no_corners", "no_validate", "single_branch"} disable kernel
+    sections to attribute device time — the results are WRONG with any
+    ablation active.
     """
     ws = _concrete_ws(leg)
     coxa_length = float(ws.coxa_length)
@@ -350,12 +356,14 @@ def make_distance_kernel(leg: LegDimensions, block_rows: int = 128,
             cx, cy = clamps[s]
             ok = None
             for t in range(4):
-                if t == s:
+                if t == s or "no_validate" in ablate:
                     # a clamp lies on its own circumference (inside the
                     # CIRCLE_MARGIN band) — self-validation is always true
                     continue
                 good = circ_valid(cx, cy, t)
                 ok = good if ok is None else ok & good
+            if ok is None:
+                ok = xp == xp
             s2 = jnp.where(ok, scores[s], big)
             take = s2 < best_s2
             best_s2 = jnp.where(take, s2, best_s2)
@@ -363,7 +371,7 @@ def make_distance_kernel(leg: LegDimensions, block_rows: int = 128,
             best_y = jnp.where(take, cy, best_y)
         invalid = ~overall
         for (pcx, pcy, pok) in corners:
-            if not pok:
+            if not pok or "no_corners" in ablate:
                 continue
             cdx = xp - pcx
             cdy = yp - pcy
@@ -384,6 +392,16 @@ def make_distance_kernel(leg: LegDimensions, block_rows: int = 128,
         t = np.float32(theta)
         return (float(np.cos(t)), float(np.sin(t)), bool(t < 0))
 
+    # the trig-free comparisons below are wrap-free only for thresholds in
+    # (-pi, pi); the mega thresholds exceed that iff a coxa limit passes
+    # +-pi/2, where this kernel would silently diverge from the XLA path's
+    # raw-atan2 compares — fail loudly instead (M2/moonbot are well inside)
+    if abs(max_a + half_pi) >= float(_PI) or abs(min_a - half_pi) >= float(_PI):
+        raise ValueError(
+            f"coxa limits ({min_a:.3f}, {max_a:.3f}) rad put the mega-clamp "
+            "thresholds outside (-pi, pi); the trig-free Pallas distance "
+            "kernel does not support such legs — use the XLA path"
+        )
     d_mega_hi = _dir(max_a + half_pi)
     d_mega_lo = _dir(min_a - half_pi)
     d_max = _dir(max_a)
@@ -449,7 +467,10 @@ def make_distance_kernel(leg: LegDimensions, block_rows: int = 128,
         cos_a = jnp.where(on_axis, np.float32(1.0), x / inv)
         sin_a = jnp.where(on_axis, np.float32(0.0), y / inv)
         res, dx, dy, dz = finish(x, y, z, cos_a, sin_a, False)
-        resf, fx, fy, fz = finish(x, y, z, -cos_a, -sin_a, True)
+        if "single_branch" in ablate:
+            resf, fx, fy, fz = res, dx, dy, dz
+        else:
+            resf, fx, fy, fz = finish(x, y, z, -cos_a, -sin_a, True)
         d2d = dx * dx + dy * dy + dz * dz
         d2f = fx * fx + fy * fy + fz * fz
         use_d = _bsel(res == resf, d2d < d2f, res)

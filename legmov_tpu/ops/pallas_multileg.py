@@ -292,6 +292,185 @@ def pad_grid_soa(grid, sentinel: float = 1e9):
     return tuple(comps), cap_pad
 
 
+def make_adaptive_grid_solver(
+    robot: LegDimensions, cand_cols: int, interpret: bool = False,
+    rounds: tuple = ((8, 1.0), (16, 0.5), (32, 0.25), (64, 0.125),
+                     (0, 0.0625)),
+):
+    """Early-exit fused grid solver: per-leg-relevant cells nearest-first,
+    with pose compaction between rounds.
+
+    The plain fused solver (:func:`make_fused_grid_solver`) scans every
+    pose through every candidate cell even though a pose's ``legs`` bits
+    are monotone.  This solver exploits three structural facts:
+
+    * **a cell can only matter to leg l if it intersects leg l's reach
+      ball** (center = the pose's rotated mount point, radius = coxa +
+      femur + tibia) — computed exactly per (pose, offset, leg) from the
+      cell AABB, so cells outside every *missing* leg's ball are never
+      scanned and a missing leg is *proven* infeasible once its relevant
+      occupied cells are exhausted (the dense analogue of the reference
+      octree's elongated-box early-out, several_leg_octree.cu:76-82);
+    * **nearest cells first**: feasible poses on continuous terrain find
+      all legs within a handful of nearby cells;
+    * **static-shape stream compaction** between rounds (the TPU analogue
+      of the thrust pipeline's ``remove_if``, several_leg.cu:427-434):
+      each round ``(n_cells, frac)`` keeps the ``frac * P`` poses whose
+      result can still change and scans their next ``n_cells``
+      highest-priority cells (``n_cells = 0`` = every cell, last round).
+
+    ``legs``/``quorum`` are EXACT (identical to the plain solver) unless
+    the returned ``overflow`` is True — more poses stayed undecided than
+    a round's quota, in which case the extras' missing-leg bits may be
+    under-reported (re-run those through the exhaustive path or widen
+    ``rounds``).
+    """
+    kernel_fn = make_multileg_kernel(robot, cand_cols, interpret)
+    L = int(jax.tree.leaves(robot)[0].shape[0])
+    # per-leg mount parameters for the reach-ball relevance test
+    mounts = np.asarray(jax.tree.map(lambda x: np.asarray(x), robot).body_angle)
+    body_r = np.asarray(jax.tree.map(lambda x: np.asarray(x), robot).body)
+    reach_l = np.asarray(
+        np.asarray(jax.tree.map(lambda x: np.asarray(x), robot).coxa_length)
+        + np.asarray(jax.tree.map(lambda x: np.asarray(x), robot).femur_length)
+        + np.asarray(jax.tree.map(lambda x: np.asarray(x), robot).tibia_length)
+    )
+    mount_vec = np.stack(
+        [body_r * np.cos(mounts), body_r * np.sin(mounts),
+         np.zeros_like(body_r)], -1
+    ).astype(np.float32)  # [L, 3] coxa joint in the body frame
+
+    @partial(jax.jit, static_argnames=("top_k", "k", "dims"))
+    def solve(
+        body, quats, gx, gy, gz, counts, origin, cell_size, offsets,
+        top_k: int, k: int, dims: tuple,
+    ):
+        del top_k  # kept for signature parity with the plain solver
+        P = body.shape[0]
+        K = offsets.shape[0]
+        nx, ny, nz = dims
+        cs = jnp.float32(cell_size)
+        base = jnp.floor((body - origin) / cs).astype(jnp.int32)
+        cell = base[:, None, :] + offsets[None, :, :]
+        in_range = jnp.all(
+            (cell >= 0) & (cell < jnp.asarray([nx, ny, nz], jnp.int32)),
+            axis=-1,
+        )
+        cellc = jnp.clip(cell, 0, jnp.asarray([nx - 1, ny - 1, nz - 1]))
+        flat = (cellc[..., 0] * ny + cellc[..., 1]) * nz + cellc[..., 2]
+        occupied = in_range & (counts[flat] > 0)  # [P, K]
+
+        # exact conservative relevance: leg l's reach ball (center =
+        # rotated mount point, radius = leg reach) vs each candidate
+        # cell's AABB, all relative to the body position
+        from legmov_tpu.ops import quaternion as _quat
+
+        centers = jax.vmap(
+            lambda q: jax.vmap(lambda m: _quat.rotate(q, m))(
+                jnp.asarray(mount_vec)
+            )
+        )(quats)  # [P, L, 3]
+        cell_lo = (
+            cellc.astype(jnp.float32) * cs + origin - body[:, None, :]
+        )  # [P, K, 3]
+        nearest = jnp.clip(
+            centers[:, None, :, :], cell_lo[:, :, None, :],
+            cell_lo[:, :, None, :] + cs,
+        )
+        d2 = jnp.sum(
+            (nearest - centers[:, None, :, :]) ** 2, axis=-1
+        )  # [P, K, L]
+        rel = d2 <= jnp.asarray(reach_l, jnp.float32)[None, None, :] ** 2
+        rel &= occupied[:, :, None]
+
+        # static nearest-first priority of the offsets (ties by index)
+        off_d2 = jnp.sum(
+            (offsets.astype(jnp.float32) + 0.5) ** 2, axis=-1
+        )  # [K]
+        near_rank = jnp.argsort(jnp.argsort(off_d2))  # [K] 0 = nearest
+
+        tab = oriented_tables(body, quats, robot)
+        sentinel = jnp.float32(1e9)
+
+        def order_cells(rel_, legs_, scanned_, n_steps):
+            """[A, n_steps] cell priority order: unscanned cells relevant
+            to a missing leg, nearest first; zero-score slots are dead."""
+            want = jnp.any(rel_ & ~legs_[:, None, :], axis=-1) & ~scanned_
+            score = jnp.where(want, jnp.int32(2 * K) - near_rank, 0)
+            val, order = jax.lax.top_k(score, n_steps)
+            return order, val > 0
+
+        def run_round(tab_, flat_, rel_, legs_, scanned_, n_steps):
+            order, live = order_cells(rel_, legs_, scanned_, n_steps)
+            # liveness is a per-pose prefix of the score-sorted order, so
+            # the loop can stop at the longest live prefix — trailing
+            # all-dead steps cost nothing
+            max_live = jnp.max(jnp.sum(live, axis=1))
+
+            def cond(c):
+                return c[0] < max_live
+
+            def step(c):
+                i, legs_c = c
+                fl = jnp.take_along_axis(flat_, order[:, i][:, None], 1)
+                lv = live[:, i][:, None, None]
+
+                def take(tab3):
+                    g = tab3[fl]
+                    g = jnp.where(lv, g, sentinel)
+                    return g.reshape(fl.shape[0], -1)
+
+                got = kernel_fn(tab_, take(gx), take(gy), take(gz))
+                return i + 1, legs_c | got
+
+            _, legs_ = jax.lax.while_loop(
+                cond, step, (jnp.int32(0), legs_)
+            )
+            A = scanned_.shape[0]
+            scanned_ = scanned_.at[
+                jnp.arange(A)[:, None], order
+            ].set(True)
+            return legs_, scanned_
+
+        # normalize rounds: last entry 0 = "all cells"
+        rounds_eff = tuple(
+            (n if n else K, f) for n, f in rounds
+        )
+
+        legs = jnp.zeros((P, L), bool)
+        scanned = jnp.zeros((P, K), bool)
+        over_quota = jnp.zeros((), bool)
+        for r, (n_cells, frac) in enumerate(rounds_eff):
+            steps = min(n_cells, K)
+            if r == 0:
+                legs, scanned = run_round(
+                    tab, flat, rel, legs, scanned, steps
+                )
+            else:
+                A = max(
+                    POSE_ROWS,
+                    ((int(P * frac) + POSE_ROWS - 1) // POSE_ROWS)
+                    * POSE_ROWS,
+                )
+                A = min(A, P)
+                # undecided: some missing leg still has relevant
+                # unscanned cells
+                rem = jnp.any(rel & ~scanned[:, :, None], axis=1)  # [P, L]
+                undone = jnp.any(~legs & rem, axis=-1)
+                over_quota |= jnp.sum(undone) > A
+                _, idx = jax.lax.top_k(undone.astype(jnp.int32), A)
+                legs2, scanned2 = run_round(
+                    tab[idx], flat[idx], rel[idx], legs[idx],
+                    scanned[idx], steps,
+                )
+                legs = legs.at[idx].set(legs2)
+                scanned = scanned.at[idx].set(scanned2)
+        quorum = jnp.sum(legs, axis=-1) >= jnp.int32(k if k else L)
+        return legs, quorum, over_quota
+
+    return solve
+
+
 def make_fused_grid_solver(
     robot: LegDimensions, cand_cols: int, interpret: bool = False,
     group: int = 1,

@@ -94,20 +94,19 @@ def positionable_batch(
     (several_leg.cu:143-156).  Pose count must be divisible by ``chunk``.
     """
     if chunk and body_pos.shape[0] > chunk:
+        P = body_pos.shape[0]
         if body_quat is None:
-            body_quat = jnp.broadcast_to(
-                jnp.asarray(IDENTITY), (body_pos.shape[0], 4)
-            )
-        n = body_pos.shape[0] // chunk
-        bp = body_pos[: n * chunk].reshape(n, chunk, 3)
-        bq = body_quat[: n * chunk].reshape(n, chunk, 4)
+            body_quat = jnp.broadcast_to(jnp.asarray(IDENTITY), (P, 4))
+        # pad the pose axis to a chunk multiple (padded poses are computed
+        # and discarded) — a ragged tail would trigger a fresh compile for
+        # every distinct tail size in a sweep
+        pad = (-P) % chunk
+        bp = jnp.pad(body_pos, ((0, pad), (0, 0)))
+        bq = jnp.pad(body_quat, ((0, pad), (0, 0)), constant_values=1.0)
+        n = (P + pad) // chunk
         out = jax.lax.map(
-            lambda pq: positionable(pq[0], pq[1], footholds, robot, k), (bp, bq)
+            lambda pq: positionable(pq[0], pq[1], footholds, robot, k),
+            (bp.reshape(n, chunk, 3), bq.reshape(n, chunk, 4)),
         ).reshape(-1)
-        if n * chunk < body_pos.shape[0]:
-            tail = positionable(
-                body_pos[n * chunk :], body_quat[n * chunk :], footholds, robot, k
-            )
-            out = jnp.concatenate([out, tail])
-        return out
+        return out[:P]
     return positionable(body_pos, body_quat, footholds, robot, k)

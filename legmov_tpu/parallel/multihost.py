@@ -21,18 +21,26 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def initialize_distributed(**kw) -> None:
-    """`jax.distributed.initialize` passthrough (no-op if single process).
+    """`jax.distributed.initialize` passthrough (no-op if already up).
 
     On Cloud TPU pods the coordinator/process env is auto-detected; kwargs
-    (coordinator_address, num_processes, process_id) override for manual
-    setups.
+    (coordinator_address, num_processes, process_id, local_device_ids)
+    override for manual setups — they are forwarded verbatim.
     """
-    if jax.process_count() > 1 or kw:
-        return  # already initialized or explicit args consumed elsewhere
+    from jax._src import distributed as _dist
+
+    # NOTE: must not call jax.process_count()/jax.devices() here — those
+    # initialize the XLA backend, after which jax.distributed.initialize
+    # refuses to run; inspect the distributed client state directly.
+    if getattr(_dist.global_state, "client", None) is not None:
+        return  # already initialized
+    if kw:
+        jax.distributed.initialize(**kw)  # manual setup: errors surface
+        return
     try:
         jax.distributed.initialize()
     except Exception:
-        pass  # single-process / already initialized
+        pass  # single-process / no coordinator env — stay local
 
 
 def global_pose_batch(

@@ -1,10 +1,16 @@
-"""Vectorized 2-D Perlin and fractal noise.
+"""Gradient (Perlin) and fractal noise on a 2-D pixel grid.
 
-Same algorithm as the reference's vendored generator
-(perlinnumpy2d.py:8-96): per-cell random gradient directions, quintic
-interpolant ``6t^5 - 15t^4 + 10t^3``, octave stacking with persistence /
-lacunarity.  RNG is an explicit ``numpy.random.Generator`` instead of
-global state.
+Capability twin of the noise generator the reference vendors for its moon
+terrain (perlinnumpy2d.py, itself from the public pvigier/perlin-numpy
+library): random unit gradients on a coarse lattice, quintic-faded
+interpolation of the four corner dot products, octave stacking.
+
+This implementation is written corner-wise rather than lerp-wise: each
+pixel's value is the sum over its cell's four lattice corners of
+``weight(corner) * <gradient(corner), pixel - corner>`` with separable
+fade weights — algebraically the same surface, structured around lattice
+indexing instead of array-repeat tricks.  RNG is an explicit
+``numpy.random.Generator``.
 """
 
 from __future__ import annotations
@@ -12,8 +18,10 @@ from __future__ import annotations
 import numpy as np
 
 
-def _interpolant(t: np.ndarray) -> np.ndarray:
-    return t * t * t * (t * (t * 6 - 15) + 10)
+def _fade(t: np.ndarray) -> np.ndarray:
+    """Quintic smoothstep 6t^5 - 15t^4 + 10t^3 (zero 1st/2nd derivative
+    at cell boundaries, the classic improved-Perlin interpolant)."""
+    return t * t * t * (t * (6.0 * t - 15.0) + 10.0)
 
 
 def perlin_noise_2d(
@@ -22,34 +30,44 @@ def perlin_noise_2d(
     rng: np.random.Generator,
     tileable: tuple[bool, bool] = (False, False),
 ) -> np.ndarray:
-    """Perlin noise array of ``shape``; ``shape`` must be a multiple of ``res``."""
+    """Perlin noise array of ``shape``; ``shape`` must be a multiple of ``res``.
+
+    ``res`` is the lattice resolution (number of gradient cells per axis);
+    ``tileable`` wraps the gradient lattice on the given axis so the
+    output tiles seamlessly.  Output is in roughly [-1, 1] (sqrt(2)
+    normalization of the unit-gradient dot products).
+    """
     if shape[0] % res[0] or shape[1] % res[1]:
         raise ValueError(f"shape {shape} not a multiple of res {res}")
-    delta = (res[0] / shape[0], res[1] / shape[1])
-    d = (shape[0] // res[0], shape[1] // res[1])
-    grid = (
-        np.mgrid[0 : res[0] : delta[0], 0 : res[1] : delta[1]].transpose(1, 2, 0)
-        % 1
-    )
-    angles = 2 * np.pi * rng.random((res[0] + 1, res[1] + 1))
-    gradients = np.dstack((np.cos(angles), np.sin(angles)))
+    cell = (shape[0] // res[0], shape[1] // res[1])
+
+    # one random unit gradient per lattice node
+    theta = rng.uniform(0.0, 2.0 * np.pi, size=(res[0] + 1, res[1] + 1))
+    grad = np.stack([np.cos(theta), np.sin(theta)], axis=-1)
     if tileable[0]:
-        gradients[-1, :] = gradients[0, :]
+        grad[-1, :] = grad[0, :]
     if tileable[1]:
-        gradients[:, -1] = gradients[:, 0]
-    gradients = gradients.repeat(d[0], 0).repeat(d[1], 1)
-    g00 = gradients[: -d[0], : -d[1]]
-    g10 = gradients[d[0]:, : -d[1]]
-    g01 = gradients[: -d[0], d[1]:]
-    g11 = gradients[d[0]:, d[1]:]
-    n00 = np.sum(np.dstack((grid[:, :, 0], grid[:, :, 1])) * g00, 2)
-    n10 = np.sum(np.dstack((grid[:, :, 0] - 1, grid[:, :, 1])) * g10, 2)
-    n01 = np.sum(np.dstack((grid[:, :, 0], grid[:, :, 1] - 1)) * g01, 2)
-    n11 = np.sum(np.dstack((grid[:, :, 0] - 1, grid[:, :, 1] - 1)) * g11, 2)
-    t = _interpolant(grid)
-    n0 = n00 * (1 - t[:, :, 0]) + t[:, :, 0] * n10
-    n1 = n01 * (1 - t[:, :, 0]) + t[:, :, 0] * n11
-    return np.sqrt(2) * ((1 - t[:, :, 1]) * n0 + t[:, :, 1] * n1)
+        grad[:, -1] = grad[:, 0]
+
+    # pixel -> owning lattice cell + fractional position inside it
+    ii = np.arange(shape[0])
+    jj = np.arange(shape[1])
+    i0, j0 = np.meshgrid(ii // cell[0], jj // cell[1], indexing="ij")
+    u, v = np.meshgrid(
+        (ii % cell[0]) / cell[0], (jj % cell[1]) / cell[1], indexing="ij"
+    )
+
+    fu, fv = _fade(u), _fade(v)
+    out = np.zeros(shape)
+    for di in (0, 1):
+        wi = fu if di else 1.0 - fu
+        for dj in (0, 1):
+            wj = fv if dj else 1.0 - fv
+            g = grad[i0 + di, j0 + dj]
+            out += wi * wj * (
+                g[..., 0] * (u - di) + g[..., 1] * (v - dj)
+            )
+    return np.sqrt(2.0) * out
 
 
 def fractal_noise_2d(
@@ -61,17 +79,16 @@ def fractal_noise_2d(
     lacunarity: int = 2,
     tileable: tuple[bool, bool] = (False, False),
 ) -> np.ndarray:
-    """Octave-stacked Perlin noise (perlinnumpy2d.py:60-96 semantics)."""
-    noise = np.zeros(shape)
-    frequency = 1
-    amplitude = 1.0
-    for _ in range(octaves):
-        noise += amplitude * perlin_noise_2d(
+    """Sum of ``octaves`` Perlin layers with geometrically increasing
+    lattice frequency (x ``lacunarity``) and decreasing amplitude
+    (x ``persistence``)."""
+    return sum(
+        persistence**o
+        * perlin_noise_2d(
             shape,
-            (frequency * res[0], frequency * res[1]),
+            (res[0] * lacunarity**o, res[1] * lacunarity**o),
             rng,
             tileable,
         )
-        frequency *= lacunarity
-        amplitude *= persistence
-    return noise
+        for o in range(octaves)
+    )

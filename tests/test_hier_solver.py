@@ -103,6 +103,75 @@ class TestHierSolver:
         )
         assert per_leg.valid.any()
 
+    def test_per_leg_edge_semantics(self):
+        """shared=False must derive its edge flag from the per-leg rule's
+        own certainty bands: a cell whose only foothold sits a few mm from
+        the leg workspace boundary (boundary crosses the cell) is edge; a
+        cell whose foothold is deep inside the workspace is a clean leaf."""
+        import jax.numpy as jnp
+
+        from legmov_tpu.models.hier_solver import _eval_cells
+        from legmov_tpu.models.leg import forward_kinematics, get_m2_leg
+        from legmov_tpu.models.robot import stack_legs
+        from legmov_tpu.ops.distance import distance
+
+        leg = get_m2_leg(0.0)
+        robot = stack_legs([leg])
+        # deep-interior point: the FK sample with the largest distance to
+        # the workspace boundary (joint-space midpoints are NOT task-space
+        # interior for this leg's absolute-tibia limits)
+        rng = np.random.default_rng(3)
+        n = 64
+        angles = np.stack(
+            [
+                np.zeros(n, np.float32),
+                rng.uniform(float(leg.min_angle_femur),
+                            float(leg.max_angle_femur), n),
+                rng.uniform(float(leg.min_angle_tibia),
+                            float(leg.max_angle_tibia), n),
+            ],
+            -1,
+        ).astype(np.float32)
+        pts = np.asarray(forward_kinematics(jnp.asarray(angles), leg))
+        ok, vec = distance(jnp.asarray(pts), leg)
+        ok = np.asarray(ok)
+        dists = np.linalg.norm(np.asarray(vec), axis=-1)
+        best = int(np.argmax(np.where(ok, dists, -1.0)))
+        p0, v, d = pts[best], np.asarray(vec)[best], float(dists[best])
+        assert ok[best] and d > 40.0  # genuinely interior
+        # a point 6 mm inside the nearest boundary along the same ray
+        p_near = p0 + v * (1.0 - 6.0 / d)
+
+        chunk = 8
+
+        def eval_one(fh_point):
+            fh = np.full((chunk, 3), 1e9, np.float32)
+            fh[0] = fh_point
+            valid, edge, leaf = _eval_cells(
+                jnp.zeros((1, 3), jnp.float32),  # cell at the body origin
+                jnp.zeros(1, bool),
+                jnp.asarray([20.0, 20.0, 20.0], jnp.float32),
+                jnp.asarray([40.0, 40.0, 40.0], jnp.float32),
+                jnp.asarray(fh),
+                jnp.asarray([[1.0, 0, 0, 0]], jnp.float32),
+                robot,
+                k=1,
+                margin=0.0,
+                reach=2000.0,
+                chunk=chunk,
+                use_rot=False,
+                shared=False,
+            )
+            return (bool(np.asarray(valid)[0]), bool(np.asarray(edge)[0]),
+                    bool(np.asarray(leaf)[0]))
+
+        v_in, e_in, l_in = eval_one(p0)
+        assert v_in and not e_in and l_in  # interior: certain valid leaf
+        v_nb, e_nb, l_nb = eval_one(p_near)
+        # near-boundary: still valid at the center, but the boundary
+        # crosses the 20 mm cell so the per-leg quorum is uncertain
+        assert v_nb and e_nb and not l_nb
+
     def test_refinement_increases_resolution(self):
         robot = get_moonbot_robot()
         fh = ring_footholds()

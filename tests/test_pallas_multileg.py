@@ -76,3 +76,52 @@ def test_fused_grid_solver_matches_topk(rng):
     np.testing.assert_array_equal(np.asarray(legs_f), np.asarray(legs_t))
     np.testing.assert_array_equal(np.asarray(quorum_f), np.asarray(quorum_t))
     np.testing.assert_array_equal(np.asarray(ovf_f), np.asarray(ovf_t))
+
+
+def test_adaptive_grid_solver_matches_topk(rng):
+    """Early-exit solver must be bit-identical to the exhaustive path
+    (legs AND quorum) when no quota overflows — monotone OR accumulation
+    over per-leg-relevant cells covers exactly the same candidate set."""
+    from legmov_tpu.ops.pallas_multileg import make_adaptive_grid_solver
+
+    robot = get_moonbot_robot()
+    reach = cell_size_for(robot)
+    cell = reach / 2
+    fh = flat_grid((-1200, 1201), (-1200, 1201), 90.0, z=-130.0)
+    # punch a hole so some poses are genuinely infeasible (exercises the
+    # proven-infeasible early exit, not just the all-legs-found one)
+    fh = fh[~((np.abs(fh[:, 0]) < 420) & (fh[:, 1] > 120))]
+    g = build_grid(fh, cell)
+    offs = jnp.asarray(neighbor_offsets(cell, reach))
+    (gx, gy, gz), cap_pad = pad_grid_soa(g)
+    P = 32
+    body, quats = _poses(P, rng)
+    # full-width rounds: compaction ordering + relevance pruning +
+    # live-prefix early exit are all active, and no pose can be dropped
+    solver = make_adaptive_grid_solver(
+        robot, cap_pad, interpret=True,
+        rounds=((8, 1.0), (16, 1.0), (0, 1.0)),
+    )
+    legs_a, quorum_a, ovf = solver(
+        body, quats, gx, gy, gz, g.counts, g.origin, g.cell_size, offs,
+        top_k=0, k=4, dims=g.dims,
+    )
+    legs_t, quorum_t, _ = grid_reachable_legs_topk(
+        body, quats, g, robot, offs, top_k=80, k=4
+    )
+    assert not bool(np.asarray(ovf))
+    np.testing.assert_array_equal(np.asarray(legs_a), np.asarray(legs_t))
+    np.testing.assert_array_equal(
+        np.asarray(quorum_a), np.asarray(quorum_t)
+    )
+    assert 0 < int(np.asarray(quorum_t).sum()) < P
+
+    # starved quotas must flag overflow instead of silently under-reporting
+    tight = make_adaptive_grid_solver(
+        robot, cap_pad, interpret=True, rounds=((4, 1.0), (0, 0.03)),
+    )
+    _, _, ovf_t = tight(
+        body, quats, gx, gy, gz, g.counts, g.origin, g.cell_size, offs,
+        top_k=0, k=4, dims=g.dims,
+    )
+    assert bool(np.asarray(ovf_t))

@@ -1,14 +1,23 @@
 """N-sweep benchmark: ns/point vs batch size, CSV + plot.
 
-Reproduces the reference's sweep protocol (bench.cpp:52-181 +
-setting_bench.h: pixel pitch halved from 50 mm until the grid reaches tens
-of millions of points) and its CSV format ``N;ns_per_point`` (one row per
-repeat), written to ``bdata/tpu/{r,d}tpu.csv`` so the reference's
-``benchIllu.py``-style aggregation applies unchanged.  Timing uses the
-dependency-chained slope method from bench.py (the relay's
-``block_until_ready`` is unreliable, see bench.py docstring).
+Reproduces the reference's sweep protocol EXACTLY (bench.cpp:52-181 +
+setting_bench.h:8-18): pixel pitch swept 0.04 -> 50 doubling each step,
+grids over x in [-100, 601], y = 0, z in [-100, 51] (the reference's
+``z_start = XMin`` quirk at bench.cpp:118 is reproduced so the point
+counts match its committed CSVs: 72 ... 66,160,650), inclusive
+float32-accumulating arange, and the CSV format ``N;ns_per_point`` with
+ONE ROW PER REPEAT (SubSamples, bench.cpp:121-171) so the reference's
+``benchIllu.py``-style 5-95th-percentile aggregation applies unchanged.
 
-Run: ``python tools/bench_sweep.py [--out bdata/tpu] [--max-points N]``.
+Timing uses the dependency-chained slope method from bench.py (the
+relay's ``block_until_ready`` is unreliable, see bench.py docstring);
+each rep contributes one slope sample against the shared K=1 baseline —
+the analogue of the reference's per-subsample cudaEvent rows.
+
+Run:  python tools/bench_sweep.py --kernels reach          # ~11 compiles
+      python tools/bench_sweep.py --kernels dist
+Already-recorded sizes (>= --reps rows in the CSV) are skipped, so an
+interrupted sweep resumes where it stopped.
 """
 
 from __future__ import annotations
@@ -22,104 +31,147 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import chained_timer  # noqa: E402
+from bench import chained_timer_samples  # noqa: E402
 from legmov_tpu.models.leg import get_m2_leg  # noqa: E402
 from legmov_tpu.ops.distance import distance  # noqa: E402
 from legmov_tpu.ops.reachability import reachability  # noqa: E402
 
+_LANES = 128
 
-def grids(max_points: int, start_pix: float = 50.0):
-    """Pixel-pitch sweep like bench.cpp:109-120 / setting_bench.h:8-18."""
-    pix = start_pix
-    while True:
-        xs = np.arange(-100, 601, pix, dtype=np.float32)
-        zs = np.arange(-350, 51, pix, dtype=np.float32)
-        ys = np.arange(-400, 401, pix, dtype=np.float32)
-        n = xs.size * ys.size * zs.size
-        if n > max_points:
-            return
-        X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
-        yield pix, np.stack([X.ravel(), Y.ravel(), Z.ravel()], -1)
-        pix /= 2.0
+
+def ref_arange(start: float, end: float, step: float) -> np.ndarray:
+    """bench.cpp:21-27 arange: inclusive end, float32 accumulation."""
+    out = []
+    v = np.float32(start)
+    step = np.float32(step)
+    while v <= np.float32(end):
+        out.append(float(v))
+        v = np.float32(v + step)
+    return np.asarray(out, np.float32)
+
+
+def ref_pitches(min_pix: float = 0.04, max_pix: float = 50.0) -> list:
+    p, out = min_pix, []
+    while p <= max_pix:
+        out.append(p)
+        p *= 2.0
+    return out
+
+
+def ref_grid(pix: float) -> np.ndarray:
+    """One sweep grid, loop order x-outer / z-inner like generate3DGrid."""
+    xs = ref_arange(-100.0, 601.0, pix)
+    ys = np.zeros(1, np.float32)
+    zs = ref_arange(-100.0, 51.0, pix)  # z_start = XMin (bench.cpp:118)
+    X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
+    return np.stack([X.ravel(), Y.ravel(), Z.ravel()], -1).astype(np.float32)
+
+
+def rows_in_csv(path: str, n: int) -> int:
+    if not os.path.exists(path):
+        return 0
+    with open(path) as f:
+        return sum(1 for line in f if line.startswith(f"{n};"))
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="bdata/tpu")
-    ap.add_argument("--max-points", type=int, default=1 << 25)
-    ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--iters", type=int, default=6)
-    ap.add_argument("--impl", choices=("auto", "pallas", "xla"),
-                    default="auto")
-    ap.add_argument("--start-pix", type=float, default=50.0,
-                    help="coarsest grid pitch (larger = fewer sweep sizes; "
-                    "each size costs fresh compiles through the relay)")
+    ap.add_argument("--reps", type=int, default=25)
+    ap.add_argument("--kernels", default="reach,dist",
+                    help="comma list of reach,dist")
+    ap.add_argument("--min-pix", type=float, default=0.04)
+    ap.add_argument("--max-pix", type=float, default=50.0)
+    ap.add_argument("--max-points", type=int, default=1 << 27)
+    ap.add_argument("--impl", choices=("pallas", "xla"), default="pallas")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
     leg = get_m2_leg()
+    kernels = args.kernels.split(",")
 
-    kr = kd = None
-    if args.impl in ("auto", "pallas"):
-        try:
-            from legmov_tpu.ops.pallas_kernels import (
-                make_distance_kernel,
-                make_reachability_kernel,
-            )
+    # smallest grid first: fast feedback + warms the toolchain before the
+    # multi-minute 66M-point compiles
+    pitches = sorted(ref_pitches(args.min_pix, args.max_pix), reverse=True)
 
-            kr = make_reachability_kernel(leg)
-            kd = make_distance_kernel(leg)
-        except Exception:
-            if args.impl == "pallas":
-                raise
-
-    def reach_scalar(p, leg):
-        return jnp.sum(reachability(p, leg).astype(jnp.float32))
-
-    def dist_scalar(p, leg):
-        ok, vec = distance(p, leg)
-        return jnp.sum(vec[:, 0]) + jnp.sum(ok.astype(jnp.float32))
-
-    rows_r, rows_d = [], []
-    for pix, pts_np in grids(args.max_points, args.start_pix):
-        n = pts_np.shape[0]
-        if kr is not None:
-            # SoA pallas path, same methodology as bench.py
-            comps = tuple(
-                jnp.asarray(np.ascontiguousarray(pts_np[:, i]))
-                for i in range(3)
-            )
-
-            def reach_fn(x, _leg, _c=comps):
-                return jnp.sum(kr.soa(x, _c[1], _c[2]).astype(jnp.float32))
-
-            def dist_fn(x, _leg, _c=comps):
-                ok, vx, vy, vz = kd.soa(x, _c[1], _c[2])
-                return jnp.sum(vx) + jnp.sum(ok.astype(jnp.float32))
-
-            timed_arg = comps[0]
-        else:
-            pts = jnp.asarray(pts_np)
-            reach_fn, dist_fn, timed_arg = reach_scalar, dist_scalar, pts
-
-        # chain enough evaluations that the slope dwarfs the ~30 ms relay
-        # fetch noise even for tiny batches (~3e8 points per chain)
-        iters = max(args.iters, int(3e8 // max(n, 1)) + 1)
-        t_r = chained_timer(reach_fn, timed_arg, leg, iters, args.reps)
-        rows_r.append((n, t_r / n * 1e9))
-        if n <= args.max_points // 4:
-            t_d = chained_timer(dist_fn, timed_arg, leg, iters, args.reps)
-            rows_d.append((n, t_d / n * 1e9))
-        print(
-            f"pix={pix:<8g} N={n:<10d} reach={rows_r[-1][1]:.4f} ns/pt"
-            + (f" dist={rows_d[-1][1]:.4f} ns/pt" if rows_d and rows_d[-1][0] == n else ""),
-            flush=True,
+    for which in kernels:
+        csv_path = os.path.join(
+            args.out, ("rtpu.csv" if which == "reach" else "dtpu.csv")
         )
+        for pix in pitches:
+            pts_np = ref_grid(pix)
+            n = pts_np.shape[0]
+            if n > args.max_points:
+                continue
+            have = rows_in_csv(csv_path, n)
+            if have >= args.reps:
+                print(f"[{which}] N={n}: {have} rows present, skip",
+                      flush=True)
+                continue
 
-    for name, rows in (("rtpu", rows_r), ("dtpu", rows_d)):
-        with open(os.path.join(args.out, f"{name}.csv"), "w") as f:
-            for n, ns in rows:
-                f.write(f"{n};{ns}\n")
+            if args.impl == "pallas":
+                from legmov_tpu.ops.pallas_kernels import (
+                    make_distance_kernel,
+                    make_reachability_kernel,
+                )
+
+                # small batches: shrink the block so padding stays ~1 tile
+                rows = (n + _LANES - 1) // _LANES
+                if which == "reach":
+                    br = min(256, max(8, rows))
+                    k = make_reachability_kernel(leg, block_rows=br)
+
+                    def fn(c, _leg):
+                        return jnp.sum(k.soa(*c).astype(jnp.float32))
+                else:
+                    br = min(128, max(8, rows))
+                    k = make_distance_kernel(leg, block_rows=br)
+
+                    def fn(c, _leg):
+                        ok, vx, vy, vz = k.soa(*c)
+                        return jnp.sum(vx) + jnp.sum(ok.astype(jnp.float32))
+
+                # pre-pad to the kernel block on the HOST: an unaligned N
+                # makes fn_soa's jnp.pad copy all three components every
+                # evaluation (~24 B/pt of pure HBM traffic — measured +50%
+                # on the 16.5M grid).  ns/pt still divides by the true N,
+                # so the <=0.4% padded compute counts against us, honestly.
+                pad = (-n) % (br * _LANES)
+                padded = np.concatenate(
+                    [pts_np, np.zeros((pad, 3), np.float32)]
+                ) if pad else pts_np
+                timed = tuple(
+                    jnp.asarray(np.ascontiguousarray(padded[:, i]))
+                    for i in range(3)
+                )
+            else:
+                if which == "reach":
+                    def fn(p, _leg):
+                        return jnp.sum(reachability(p, _leg)
+                                       .astype(jnp.float32))
+                else:
+                    def fn(p, _leg):
+                        ok, vec = distance(p, _leg)
+                        return (jnp.sum(vec[:, 0])
+                                + jnp.sum(ok.astype(jnp.float32)))
+
+                timed = jnp.asarray(pts_np)
+
+            # chain enough evaluations that the slope dwarfs the ~30 ms
+            # relay fetch noise even for tiny batches
+            iters = int(np.clip(3e8 // max(n, 1), 6, 1 << 18))
+            slopes = chained_timer_samples(
+                fn, timed, leg, iters, args.reps - have
+            )
+            with open(csv_path, "a") as f:
+                for s in slopes:
+                    f.write(f"{n};{s / n * 1e9}\n")
+            best = min(slopes) / n * 1e9
+            med = float(np.median(slopes)) / n * 1e9
+            print(f"[{which}] pix={pix:<8g} N={n:<10d} "
+                  f"best={best:.4f} med={med:.4f} ns/pt "
+                  f"({len(slopes)} rows)", flush=True)
+            del timed, pts_np
 
     try:
         import matplotlib
@@ -128,16 +180,36 @@ def main() -> None:
         import matplotlib.pyplot as plt
 
         plt.figure(figsize=(7, 5))
-        for rows, label, base in (
-            (rows_r, "reachability (TPU v5e)", 0.403),
-            (rows_d, "distance (TPU v5e)", 1.437),
+        for fname, label, refcsv in (
+            ("rtpu.csv", "reachability (TPU v5e)", "rgpu.csv"),
+            ("dtpu.csv", "distance (TPU v5e)", "dgpu.csv"),
         ):
-            arr = np.array(rows)
-            plt.loglog(arr[:, 0], arr[:, 1], "o-", label=label)
-            plt.axhline(base, ls="--", lw=0.8, color="gray")
+            path = os.path.join(args.out, fname)
+            if not os.path.exists(path):
+                continue
+            data = np.loadtxt(path, delimiter=";")
+            ns, med = [], []
+            for n in np.unique(data[:, 0]):
+                v = data[data[:, 0] == n, 1]
+                lo, hi = np.percentile(v, [5, 95])
+                v = v[(v >= lo) & (v <= hi)] if v.size > 4 else v
+                ns.append(n)
+                med.append(v.mean())
+            (line,) = plt.loglog(ns, med, "o-", label=label)
+            ref = os.path.join("/root/reference/bdata/pc", refcsv)
+            if os.path.exists(ref):
+                rd = np.loadtxt(ref, delimiter=";")
+                rn, rm = [], []
+                for n in np.unique(rd[:, 0]):
+                    v = rd[rd[:, 0] == n, 1]
+                    lo, hi = np.percentile(v, [5, 95])
+                    rn.append(n)
+                    rm.append(v[(v >= lo) & (v <= hi)].mean())
+                plt.loglog(rn, rm, "s--", color=line.get_color(), lw=0.8,
+                           label=label.split(" (")[0] + " (GTX 1080 Ti)")
         plt.xlabel("points per batch")
         plt.ylabel("ns / point")
-        plt.title("legmov_tpu kernel throughput (dashed: GTX 1080 Ti ref)")
+        plt.title("legmov_tpu kernel throughput vs reference GPU")
         plt.grid(True, which="both", lw=0.3)
         plt.legend()
         plt.savefig(os.path.join(args.out, "sweep.png"), dpi=150,

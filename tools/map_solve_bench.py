@@ -77,6 +77,12 @@ def main() -> None:
     ap.add_argument("--fused", action="store_true", default=True,
                     help="use the fused multi-leg Pallas kernel")
     ap.add_argument("--no-fused", dest="fused", action="store_false")
+    ap.add_argument("--adaptive", action="store_true", default=True,
+                    help="early-exit solver: per-leg-relevant cells "
+                    "nearest-first with pose compaction between rounds")
+    ap.add_argument("--no-adaptive", dest="adaptive", action="store_false")
+    ap.add_argument("--rounds", default="8:1,16:0.5,32:0.25,64:0.125,0:0.0625",
+                    help="adaptive schedule as cells:pose_fraction pairs")
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
@@ -142,15 +148,30 @@ def main() -> None:
     fused_args = ()
     if args.fused and top_k:
         from legmov_tpu.ops.pallas_multileg import (
+            make_adaptive_grid_solver,
             make_fused_grid_solver,
             pad_grid_soa,
         )
 
         (gxp, gyp, gzp), cap_pad = pad_grid_soa(grid)
-        fused_solver = make_fused_grid_solver(robot, cap_pad)
         fused_args = (gxp, gyp, gzp, grid.counts, grid.origin,
                       grid.cell_size, offs)
-        print(f"fused multi-leg kernel: cap_pad={cap_pad}", flush=True)
+        interp = jax.devices()[0].platform == "cpu"  # pallas on CPU
+        if args.adaptive:
+            rounds = tuple(
+                (int(c), float(f))
+                for c, f in (p.split(":") for p in args.rounds.split(","))
+            )
+            fused_solver = make_adaptive_grid_solver(
+                robot, cap_pad, rounds=rounds, interpret=interp
+            )
+            print(f"adaptive fused solver: cap_pad={cap_pad} "
+                  f"rounds={rounds}", flush=True)
+        else:
+            fused_solver = make_fused_grid_solver(
+                robot, cap_pad, interpret=interp
+            )
+            print(f"fused multi-leg kernel: cap_pad={cap_pad}", flush=True)
 
     @partial(jax.jit, static_argnames=("iters", "kk", "tk"))
     def chain_fused(b, q, gxp, gyp, gzp, counts, origin, cell_size, off,
@@ -205,7 +226,12 @@ def main() -> None:
             body_d, quats_d, *fused_args, top_k=top_k, k=k, dims=grid.dims
         )
         feasible = int(np.asarray(quorum_r).sum())
-        assert not np.asarray(overflow_r).any(), "top_k undersized"
+        overflowed = bool(np.asarray(overflow_r).any())
+        if overflowed:
+            print("WARNING: " + (
+                "adaptive round quotas starved — widen --rounds"
+                if args.adaptive else "top_k undersized"
+            ), flush=True)
     elif top_k:
         legs_r, quorum_r, overflow_r = grid_reachable_legs_topk(
             body_d, quats_d, grid, robot, offs, top_k=top_k, k=k
@@ -233,7 +259,12 @@ def main() -> None:
         "solve_s_per_chunk": round(per, 4),
         "candidate_points_per_pose": (top_k or int(offs.shape[0])) * cap,
         "top_k": top_k,
-        "impl": "pallas-fused" if fused_solver is not None else "xla",
+        "overflow": bool(locals().get("overflowed", False)),
+        "impl": (
+            "pallas-fused-adaptive" if fused_solver is not None
+            and args.adaptive else
+            "pallas-fused" if fused_solver is not None else "xla"
+        ),
         "device": jax.devices()[0].platform,
     }
     print(json.dumps(result))
