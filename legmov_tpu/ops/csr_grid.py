@@ -1,0 +1,279 @@
+"""CSR (variable-capacity) foothold storage + windowed candidate solver.
+
+The fixed-capacity bucket table (ops/grid.py) pads every cell to the
+terrain's densest cell: on the 10M-point moon map that is a 1.95 GB
+device table of which ~80% is sentinel padding, and every padded slot
+costs full kernel work.  This module stores footholds in CSR form —
+points sorted by cell id (z-fastest, so each (x, y) cell *column* is one
+contiguous range), plus a ``starts`` prefix array — 12 B/point exactly,
+and streams candidates to the fused multi-leg kernel in fixed-size
+windows of REAL points:
+
+* the neighbor-offset ball is decomposed once into (dx, dy, dz_lo,
+  dz_hi) **columns**; a pose's candidates in one column are one
+  contiguous CSR slice;
+* per round, each pose builds a queue over the statically nearest-first
+  column order, keeping columns relevant to a still-missing leg's reach
+  ball (the same exact per-pose relevance as
+  pallas_multileg.make_adaptive_grid_solver);
+* a while-loop walks fixed ``window`` chunks of each pose's own queue
+  (per-pose chunk decode by prefix sums), so dense and sparse poses
+  advance independently — no fixed-cap padding anywhere, only ≤1
+  partial window per column;
+* pose compaction rounds and the proven-infeasible early exit work as in
+  the adaptive dense solver; results are exact unless ``overflow``.
+
+Reference anchor: this replaces the octree's per-node foothold loops +
+elongated-box early-outs (several_leg_octree.cu:45-131) with sorted-grid
+slicing, per BASELINE's Morton/sorted-grid mandate; linear z-fastest cell
+order gives the same contiguity Morton codes would here.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from legmov_tpu.models.leg import LegDimensions
+from legmov_tpu.ops.pallas_multileg import POSE_ROWS, make_multileg_kernel, oriented_tables
+
+_LANES = 128
+
+
+class CSRGrid(NamedTuple):
+    """Footholds sorted by cell id + prefix offsets (device arrays)."""
+
+    xs: jnp.ndarray  # [F] f32, cell-sorted
+    ys: jnp.ndarray  # [F]
+    zs: jnp.ndarray  # [F]
+    starts: jnp.ndarray  # [n_cells + 1] int32
+    origin: jnp.ndarray  # [3] f32
+    cell_size: float
+    dims: tuple[int, int, int]
+
+
+def build_csr_grid(footholds: np.ndarray, cell_size: float) -> CSRGrid:
+    """Sort ``[F, 3]`` footholds by cell id (z-fastest) and build offsets."""
+    fh = np.asarray(footholds, np.float32)
+    if fh.shape[0] == 0:
+        return CSRGrid(
+            xs=jnp.zeros(0, jnp.float32), ys=jnp.zeros(0, jnp.float32),
+            zs=jnp.zeros(0, jnp.float32),
+            starts=jnp.zeros(2, jnp.int32),
+            origin=jnp.zeros(3, jnp.float32),
+            cell_size=float(cell_size), dims=(1, 1, 1),
+        )
+    origin = fh.min(axis=0)
+    idx = np.floor((fh - origin) / cell_size).astype(np.int64)
+    dims = tuple(int(d) + 1 for d in idx.max(axis=0))
+    nx, ny, nz = dims
+    flat = (idx[:, 0] * ny + idx[:, 1]) * nz + idx[:, 2]
+    order = np.argsort(flat, kind="stable")
+    fh = fh[order]
+    counts = np.bincount(flat[order], minlength=nx * ny * nz)
+    starts = np.zeros(nx * ny * nz + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    return CSRGrid(
+        xs=jnp.asarray(np.ascontiguousarray(fh[:, 0])),
+        ys=jnp.asarray(np.ascontiguousarray(fh[:, 1])),
+        zs=jnp.asarray(np.ascontiguousarray(fh[:, 2])),
+        starts=jnp.asarray(starts.astype(np.int32)),
+        origin=jnp.asarray(origin),
+        cell_size=float(cell_size),
+        dims=dims,
+    )
+
+
+def ball_columns(offsets: np.ndarray) -> np.ndarray:
+    """Decompose an offset ball into ``[C, 4]`` (dx, dy, dz_lo, dz_hi)
+    columns, statically ordered nearest-first (horizontal distance, then
+    index) — each column is one contiguous CSR slice per pose."""
+    offs = np.asarray(offsets)
+    cols: dict[tuple[int, int], list[int]] = {}
+    for i, j, k in offs:
+        cols.setdefault((int(i), int(j)), []).append(int(k))
+    rows = []
+    for (i, j), ks in cols.items():
+        ks = sorted(ks)
+        assert ks == list(range(ks[0], ks[-1] + 1)), "ball z-range not contiguous"
+        rows.append((i, j, ks[0], ks[-1]))
+    rows.sort(key=lambda r: (r[0] * r[0] + r[1] * r[1], r[:2]))
+    return np.asarray(rows, np.int32)
+
+
+def make_csr_solver(
+    robot: LegDimensions, window: int = 2048, interpret: bool = False,
+    rounds: tuple = ((12, 1.0), (24, 0.5), (48, 0.25), (96, 0.125),
+                     (0, 0.0625)),
+):
+    """Windowed CSR positionability solver.
+
+    ``solve(body [P,3], quats [P,4], grid: CSRGrid fields as args,
+    columns [C,4], k) -> (legs [P,L], quorum [P], overflow)``.
+    ``window`` (multiple of 128) is the candidate chunk per kernel call;
+    ``rounds`` are (n_windows, pose_fraction) like the adaptive dense
+    solver (0 = no limit, bounded by each pose's own queue).
+    """
+    if window % _LANES:
+        raise ValueError(f"window {window} not a multiple of {_LANES}")
+    kernel_fn = make_multileg_kernel(robot, window, interpret)
+    L = int(jax.tree.leaves(robot)[0].shape[0])
+    host = jax.tree.map(lambda x: np.asarray(x), robot)
+    reach_l = np.asarray(host.coxa_length + host.femur_length
+                         + host.tibia_length)
+    mount_vec = np.stack(
+        [np.asarray(host.body) * np.cos(np.asarray(host.body_angle)),
+         np.asarray(host.body) * np.sin(np.asarray(host.body_angle)),
+         np.zeros(L)], -1,
+    ).astype(np.float32)
+
+    @partial(jax.jit, static_argnames=("k", "dims", "cell_size"))
+    def solve(
+        body, quats, xs, ys, zs, starts, origin, columns,
+        cell_size: float, k: int, dims: tuple,
+    ):
+        P = body.shape[0]
+        C = columns.shape[0]
+        F = xs.shape[0]
+        if F == 0:
+            return (
+                jnp.zeros((P, L), bool),
+                jnp.zeros(P, bool) if k else jnp.zeros(P, bool),
+                jnp.zeros((), bool),
+            )
+        nx, ny, nz = dims
+        cs = jnp.float32(cell_size)
+        base = jnp.floor((body - origin) / cs).astype(jnp.int32)
+
+        cx = base[:, 0:1] + columns[None, :, 0]  # [P, C]
+        cy = base[:, 1:2] + columns[None, :, 1]
+        zlo = jnp.clip(base[:, 2:3] + columns[None, :, 2], 0, nz - 1)
+        zhi = jnp.clip(base[:, 2:3] + columns[None, :, 3], 0, nz - 1)
+        xy_ok = (cx >= 0) & (cx < nx) & (cy >= 0) & (cy < ny)
+        z_ok = (base[:, 2:3] + columns[None, :, 3] >= 0) & (
+            base[:, 2:3] + columns[None, :, 2] <= nz - 1
+        )
+        ok = xy_ok & z_ok
+        cxc = jnp.clip(cx, 0, nx - 1)
+        cyc = jnp.clip(cy, 0, ny - 1)
+        flat_lo = (cxc * ny + cyc) * nz + zlo
+        flat_hi = (cxc * ny + cyc) * nz + zhi
+        col_start = starts[flat_lo]  # [P, C]
+        col_len = jnp.where(ok, starts[flat_hi + 1] - col_start, 0)
+
+        # exact per-(pose, column, leg) relevance: leg reach ball vs the
+        # column's clamped AABB
+        from legmov_tpu.ops import quaternion as _quat
+
+        centers = jax.vmap(
+            lambda q: jax.vmap(lambda m: _quat.rotate(q, m))(
+                jnp.asarray(mount_vec)
+            )
+        )(quats)  # [P, L, 3]
+        lo = jnp.stack(
+            [cxc.astype(jnp.float32) * cs + origin[0] - body[:, 0:1],
+             cyc.astype(jnp.float32) * cs + origin[1] - body[:, 1:2],
+             zlo.astype(jnp.float32) * cs + origin[2] - body[:, 2:3]],
+            axis=-1,
+        )  # [P, C, 3]
+        hi = lo + jnp.stack(
+            [jnp.broadcast_to(cs, cxc.shape),
+             jnp.broadcast_to(cs, cxc.shape),
+             (zhi - zlo + 1).astype(jnp.float32) * cs], -1,
+        )
+        nearest = jnp.clip(centers[:, None, :, :], lo[:, :, None, :],
+                           hi[:, :, None, :])
+        d2 = jnp.sum((nearest - centers[:, None, :, :]) ** 2, -1)
+        rel = (d2 <= jnp.asarray(reach_l, jnp.float32)[None, None, :] ** 2)
+        rel &= (col_len > 0)[:, :, None]  # [P, C, L]
+
+        tab = oriented_tables(body, quats, robot)
+        sentinel = jnp.float32(1e9)
+        w32 = jnp.int32(window)
+
+        def run_round(tab_, cs_, cl_, rel_, legs_, scanned_, n_windows):
+            """Walk up to n_windows chunks of each pose's column queue."""
+            want = jnp.any(rel_ & ~legs_[:, None, :], -1) & ~scanned_
+            chunks = jnp.where(
+                want, (cl_ + (w32 - 1)) // w32, 0
+            )  # [A, C]
+            cum = jnp.cumsum(chunks, axis=1)  # [A, C] inclusive
+            q_tot = cum[:, -1]
+            limit = jnp.minimum(
+                jnp.max(q_tot),
+                jnp.int32(n_windows) if n_windows else jnp.int32(1 << 30),
+            )
+
+            def cond(c):
+                return c[0] < limit
+
+            def step(c):
+                q, legs_c = c
+                # which column does chunk q of each pose fall in?
+                col = jnp.sum((cum <= q).astype(jnp.int32), 1)  # [A]
+                colc = jnp.minimum(col, C - 1)
+                prev = jnp.where(
+                    colc > 0,
+                    jnp.take_along_axis(cum, jnp.maximum(colc - 1, 0)[:, None],
+                                        1)[:, 0],
+                    0,
+                )
+                within = q - prev
+                st = jnp.take_along_axis(cs_, colc[:, None], 1)[:, 0]
+                ln = jnp.take_along_axis(cl_, colc[:, None], 1)[:, 0]
+                start = st + within * w32
+                rem = ln - within * w32
+                live = q < q_tot
+                pos = jnp.arange(window, dtype=jnp.int32)[None, :]
+                idxs = jnp.clip(start[:, None] + pos, 0, max(F - 1, 0))
+                mask = live[:, None] & (pos < rem[:, None])
+
+                def take(comp):
+                    g = comp[idxs]  # [A, window]
+                    return jnp.where(mask, g, sentinel)
+
+                got = kernel_fn(tab_, take(xs), take(ys), take(zs))
+                return q + 1, legs_c | got
+
+            q_done, legs_ = jax.lax.while_loop(
+                cond, step, (jnp.int32(0), legs_)
+            )
+            # columns fully consumed this round become scanned; a column
+            # cut mid-way is re-queued next round (correct, mildly
+            # wasteful)
+            scanned_ = scanned_ | (want & (cum <= q_done))
+            return legs_, scanned_
+
+        legs = jnp.zeros((P, L), bool)
+        scanned = jnp.zeros((P, C), bool)
+        over_quota = jnp.zeros((), bool)
+        for r, (n_windows, frac) in enumerate(rounds):
+            if r == 0:
+                legs, scanned = run_round(
+                    tab, col_start, col_len, rel, legs, scanned, n_windows
+                )
+            else:
+                A = max(
+                    POSE_ROWS,
+                    ((int(P * frac) + POSE_ROWS - 1) // POSE_ROWS)
+                    * POSE_ROWS,
+                )
+                A = min(A, P)
+                rem = jnp.any(rel & ~scanned[:, :, None], axis=1)
+                undone = jnp.any(~legs & rem, axis=-1)
+                over_quota |= jnp.sum(undone) > A
+                _, idx = jax.lax.top_k(undone.astype(jnp.int32), A)
+                legs2, scanned2 = run_round(
+                    tab[idx], col_start[idx], col_len[idx], rel[idx],
+                    legs[idx], scanned[idx], n_windows,
+                )
+                legs = legs.at[idx].set(legs2)
+                scanned = scanned.at[idx].set(scanned2)
+        quorum = jnp.sum(legs, axis=-1) >= jnp.int32(k if k else L)
+        return legs, quorum, over_quota
+
+    return solve

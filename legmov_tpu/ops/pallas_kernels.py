@@ -341,9 +341,21 @@ def make_distance_kernel(leg: LegDimensions, block_rows: int = 128,
             near = (d2 < hi2s[s]) & (d2 > lo2s[s])
             valid = (inside == atts[s]) | near
             overall = valid if overall is None else overall & valid
-            mag = jnp.sqrt(d2)
-            deg = mag < margin
-            scale = rs[s] / jnp.where(deg, np.float32(1.0), mag)
+            if "opt_rsqrt" in ablate:
+                # one rsqrt + two muls instead of sqrt + divide; the
+                # degenerate-center guard moves to the (equivalent)
+                # squared test d2 < margin^2, after which the original's
+                # where(deg, 1, mag) divisor is literally rsqrt(1)
+                deg = d2 < margin * margin
+                rinv = jax.lax.rsqrt(
+                    jnp.where(deg, np.float32(1.0), d2)
+                )
+                mag = d2 * rinv
+                scale = rs[s] * rinv
+            else:
+                mag = jnp.sqrt(d2)
+                deg = mag < margin
+                scale = rs[s] / jnp.where(deg, np.float32(1.0), mag)
             clamps.append(
                 (cxs[s] + jnp.where(deg, np.float32(1.0), dx) * scale,
                  cys[s] + jnp.where(deg, np.float32(0.0), dy) * scale)
@@ -370,16 +382,46 @@ def make_distance_kernel(leg: LegDimensions, block_rows: int = 128,
             best_x = jnp.where(take, cx, best_x)
             best_y = jnp.where(take, cy, best_y)
         invalid = ~overall
-        for (pcx, pcy, pok) in corners:
-            if not pok or "no_corners" in ablate:
-                continue
-            cdx = xp - pcx
-            cdy = yp - pcy
-            s2 = jnp.where(invalid, cdx * cdx + cdy * cdy, big)
-            take = s2 < best_s2
-            best_s2 = jnp.where(take, s2, best_s2)
-            best_x = jnp.where(take, jnp.full_like(xp, pcx), best_x)
-            best_y = jnp.where(take, jnp.full_like(xp, pcy), best_y)
+        live_corners = [
+            c for c in corners if c[2] and "no_corners" not in ablate
+        ]
+        if "opt_corner_linear" in ablate and live_corners:
+            # expanded linear form (2 FMA + add per corner, centers as
+            # immediates) + a corner-only tournament, merged with the
+            # circle winner once; first-wins strict < ordering matches
+            # the sequential original
+            q = xp * xp + yp * yp
+            c_s2 = c_x = c_y = None
+            for (pcx, pcy, _) in live_corners:
+                ax = np.float32(-2.0 * pcx)
+                ay = np.float32(-2.0 * pcy)
+                kc = np.float32(
+                    np.float32(pcx) * np.float32(pcx)
+                    + np.float32(pcy) * np.float32(pcy)
+                )
+                s2 = q + ax * xp + ay * yp + kc
+                if c_s2 is None:
+                    c_s2 = s2
+                    c_x = jnp.full_like(xp, pcx)
+                    c_y = jnp.full_like(xp, pcy)
+                else:
+                    take = s2 < c_s2
+                    c_s2 = jnp.where(take, s2, c_s2)
+                    c_x = jnp.where(take, np.float32(pcx), c_x)
+                    c_y = jnp.where(take, np.float32(pcy), c_y)
+            take = invalid & (c_s2 < best_s2)
+            best_s2 = jnp.where(take, c_s2, best_s2)
+            best_x = jnp.where(take, c_x, best_x)
+            best_y = jnp.where(take, c_y, best_y)
+        else:
+            for (pcx, pcy, _) in live_corners:
+                cdx = xp - pcx
+                cdy = yp - pcy
+                s2 = jnp.where(invalid, cdx * cdx + cdy * cdy, big)
+                take = s2 < best_s2
+                best_s2 = jnp.where(take, s2, best_s2)
+                best_x = jnp.where(take, jnp.full_like(xp, pcx), best_x)
+                best_y = jnp.where(take, jnp.full_like(xp, pcy), best_y)
         found = best_s2 < big
         out_x = xp - jnp.where(found, best_x, np.float32(0.0))
         out_y = yp - jnp.where(found, best_y, np.float32(0.0))

@@ -125,3 +125,43 @@ def test_adaptive_grid_solver_matches_topk(rng):
         top_k=0, k=4, dims=g.dims,
     )
     assert bool(np.asarray(ovf_t))
+
+
+def test_csr_solver_matches_topk(rng):
+    """Windowed CSR solver must match the exhaustive dense path exactly
+    (legs and quorum), including across window-chunk boundaries and
+    proven-infeasible poses."""
+    from legmov_tpu.ops.csr_grid import (
+        ball_columns,
+        build_csr_grid,
+        make_csr_solver,
+    )
+
+    robot = get_moonbot_robot()
+    reach = cell_size_for(robot)
+    cell = reach / 2
+    fh = flat_grid((-1200, 1201), (-1200, 1201), 90.0, z=-130.0)
+    fh = fh[~((np.abs(fh[:, 0]) < 420) & (fh[:, 1] > 120))]
+    g = build_grid(fh, cell)
+    offs = neighbor_offsets(cell, reach)
+    csr = build_csr_grid(fh, cell)
+    cols = jnp.asarray(ball_columns(offs))
+    P = 32
+    body, quats = _poses(P, rng)
+    # window smaller than typical column length -> multi-chunk columns
+    solver = make_csr_solver(
+        robot, window=128, interpret=True,
+        rounds=((4, 1.0), (8, 1.0), (0, 1.0)),
+    )
+    legs_a, quorum_a, ovf = solver(
+        body, quats, csr.xs, csr.ys, csr.zs, csr.starts, csr.origin,
+        cols, cell_size=csr.cell_size, k=4, dims=csr.dims,
+    )
+    legs_t, quorum_t, _ = grid_reachable_legs_topk(
+        body, quats, g, robot, jnp.asarray(offs), top_k=80, k=4
+    )
+    assert not bool(np.asarray(ovf))
+    np.testing.assert_array_equal(np.asarray(legs_a), np.asarray(legs_t))
+    np.testing.assert_array_equal(
+        np.asarray(quorum_a), np.asarray(quorum_t)
+    )

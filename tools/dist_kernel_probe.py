@@ -51,6 +51,11 @@ def main() -> None:
         ("single_branch", dict(ablate=frozenset(["single_branch"]))),
         ("all_off", dict(ablate=frozenset(
             ["no_validate", "no_corners", "single_branch"]))),
+        # semantics-preserving candidate optimizations (parity-tested)
+        ("opt_rsqrt", dict(ablate=frozenset(["opt_rsqrt"]))),
+        ("opt_corner_lin", dict(ablate=frozenset(["opt_corner_linear"]))),
+        ("opt_both", dict(ablate=frozenset(
+            ["opt_rsqrt", "opt_corner_linear"]))),
     ]
     base = None
     for name, kw in cases:

@@ -77,12 +77,17 @@ def main() -> None:
     ap.add_argument("--fused", action="store_true", default=True,
                     help="use the fused multi-leg Pallas kernel")
     ap.add_argument("--no-fused", dest="fused", action="store_false")
-    ap.add_argument("--adaptive", action="store_true", default=True,
-                    help="early-exit solver: per-leg-relevant cells "
-                    "nearest-first with pose compaction between rounds")
-    ap.add_argument("--no-adaptive", dest="adaptive", action="store_false")
-    ap.add_argument("--rounds", default="8:1,16:0.5,32:0.25,64:0.125,0:0.0625",
-                    help="adaptive schedule as cells:pose_fraction pairs")
+    ap.add_argument("--solver", choices=("csr", "adaptive", "fused", "xla"),
+                    default="csr",
+                    help="csr = windowed CSR streaming (no fixed-cap "
+                    "padding, 12 B/point storage); adaptive = early-exit "
+                    "dense-table solver; fused = exhaustive dense-table "
+                    "kernel; xla = no Pallas")
+    ap.add_argument("--rounds", default="",
+                    help="override the early-exit schedule as "
+                    "cells:pose_fraction pairs")
+    ap.add_argument("--window", type=int, default=2048,
+                    help="CSR candidate window (multiple of 128)")
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
@@ -98,21 +103,84 @@ def main() -> None:
 
     reach = cell_size_for(robot)
     cell = reach / args.subdiv
-    t0 = time.perf_counter()
-    grid = build_grid(terrain, cell)
-    t_grid = time.perf_counter() - t0
-    cap = grid.points.shape[1]
     offs = jnp.asarray(neighbor_offsets(cell, reach))
-    print(
-        f"grid: dims={grid.dims} cap={cap} offsets={offs.shape[0]} "
-        f"built in {t_grid:.2f}s (native host bucketing)",
-        flush=True,
-    )
 
     n_chunk = min(args.pose_chunk, args.poses)
     body, quats = sample_poses(terrain, args.poses, args.clearance)
     body_d = jnp.asarray(body[:n_chunk])
     quats_d = jnp.asarray(quats[:n_chunk])
+    interp = jax.devices()[0].platform == "cpu"  # pallas on CPU
+    rounds = tuple(
+        (int(c), float(f))
+        for c, f in (p.split(":") for p in args.rounds.split(","))
+    ) if args.rounds else None
+
+    if args.solver == "csr":
+        from legmov_tpu.ops.csr_grid import (
+            ball_columns,
+            build_csr_grid,
+            make_csr_solver,
+        )
+
+        t0 = time.perf_counter()
+        csr = build_csr_grid(terrain, cell)
+        t_grid = time.perf_counter() - t0
+        cols = jnp.asarray(ball_columns(np.asarray(offs)))
+        kw = dict(window=args.window, interpret=interp)
+        if rounds:
+            kw["rounds"] = rounds
+        csr_solver = make_csr_solver(robot, **kw)
+        csr_args = (csr.xs, csr.ys, csr.zs, csr.starts, csr.origin, cols)
+        print(
+            f"CSR grid: dims={csr.dims} {csr.xs.nbytes * 3 / 1e6:.0f} MB "
+            f"device storage, {cols.shape[0]} ball columns, "
+            f"window={args.window}, built in {t_grid:.2f}s",
+            flush=True,
+        )
+
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=("iters", "kk"))
+        def chain_csr(b, q, xs, ys, zs, starts, origin, columns, iters, kk):
+            def bodyf(_, acc):
+                legs, quorum, _ = csr_solver(
+                    b + acc, q, xs, ys, zs, starts, origin, columns,
+                    cell_size=csr.cell_size, k=kk, dims=csr.dims,
+                )
+                return acc + jnp.float32(1e-7) * jnp.sum(
+                    quorum.astype(jnp.float32)
+                )
+
+            return jax.lax.fori_loop(0, iters, bodyf, jnp.float32(0.0))
+
+        def run_chain(it):
+            return chain_csr(body_d, quats_d, *csr_args, it, k)
+
+        def final_solve():
+            return csr_solver(
+                body_d, quats_d, *csr_args,
+                cell_size=csr.cell_size, k=k, dims=csr.dims,
+            )
+
+        timed_report = dict(
+            grid_build_s=round(t_grid, 3),
+            candidate_points_per_pose=None,
+            top_k=0,
+            impl="pallas-csr-window",
+        )
+        run_bench(args, n_chunk, terrain, run_chain, final_solve,
+                  timed_report, k)
+        return
+
+    t0 = time.perf_counter()
+    grid = build_grid(terrain, cell)
+    t_grid = time.perf_counter() - t0
+    cap = grid.points.shape[1]
+    print(
+        f"grid: dims={grid.dims} cap={cap} offsets={offs.shape[0]} "
+        f"built in {t_grid:.2f}s (native host bucketing)",
+        flush=True,
+    )
 
     top_k = 0
     if args.topk:
@@ -146,7 +214,7 @@ def main() -> None:
 
     fused_solver = None
     fused_args = ()
-    if args.fused and top_k:
+    if args.solver in ("adaptive", "fused") and top_k:
         from legmov_tpu.ops.pallas_multileg import (
             make_adaptive_grid_solver,
             make_fused_grid_solver,
@@ -156,17 +224,12 @@ def main() -> None:
         (gxp, gyp, gzp), cap_pad = pad_grid_soa(grid)
         fused_args = (gxp, gyp, gzp, grid.counts, grid.origin,
                       grid.cell_size, offs)
-        interp = jax.devices()[0].platform == "cpu"  # pallas on CPU
-        if args.adaptive:
-            rounds = tuple(
-                (int(c), float(f))
-                for c, f in (p.split(":") for p in args.rounds.split(","))
-            )
-            fused_solver = make_adaptive_grid_solver(
-                robot, cap_pad, rounds=rounds, interpret=interp
-            )
-            print(f"adaptive fused solver: cap_pad={cap_pad} "
-                  f"rounds={rounds}", flush=True)
+        if args.solver == "adaptive":
+            kw = dict(interpret=interp)
+            if rounds:
+                kw["rounds"] = rounds
+            fused_solver = make_adaptive_grid_solver(robot, cap_pad, **kw)
+            print(f"adaptive fused solver: cap_pad={cap_pad}", flush=True)
         else:
             fused_solver = make_fused_grid_solver(
                 robot, cap_pad, interpret=interp
@@ -209,6 +272,36 @@ def main() -> None:
             return chain_fused(body_d, quats_d, *fused_args, it, k, top_k)
         return chain(body_d, quats_d, grid, robot, offs, it, k, top_k)
 
+    def final_solve():
+        if fused_solver is not None:
+            return fused_solver(
+                body_d, quats_d, *fused_args, top_k=top_k, k=k,
+                dims=grid.dims,
+            )
+        if top_k:
+            return grid_reachable_legs_topk(
+                body_d, quats_d, grid, robot, offs, top_k=top_k, k=k
+            )
+        legs_r, quorum_r = grid_reachable_legs(
+            body_d, quats_d, grid, robot, k=k, offsets=offs
+        )
+        return legs_r, quorum_r, jnp.zeros((), bool)
+
+    timed_report = dict(
+        grid_build_s=round(t_grid, 3),
+        candidate_points_per_pose=(top_k or int(offs.shape[0])) * cap,
+        top_k=top_k,
+        impl=(
+            "pallas-fused-adaptive" if args.solver == "adaptive"
+            and fused_solver is not None else
+            "pallas-fused" if fused_solver is not None else "xla"
+        ),
+    )
+    run_bench(args, n_chunk, terrain, run_chain, final_solve, timed_report,
+              k)
+
+
+def run_bench(args, n_chunk, terrain, run_chain, final_solve, extra, k):
     def timed(it):
         float(run_chain(it))
         ts = []
@@ -221,31 +314,12 @@ def main() -> None:
     t1 = timed(1)
     tk = timed(args.iters)
     per = max((tk - t1) / (args.iters - 1), 1e-12)
-    if fused_solver is not None:
-        legs_r, quorum_r, overflow_r = fused_solver(
-            body_d, quats_d, *fused_args, top_k=top_k, k=k, dims=grid.dims
-        )
-        feasible = int(np.asarray(quorum_r).sum())
-        overflowed = bool(np.asarray(overflow_r).any())
-        if overflowed:
-            print("WARNING: " + (
-                "adaptive round quotas starved — widen --rounds"
-                if args.adaptive else "top_k undersized"
-            ), flush=True)
-    elif top_k:
-        legs_r, quorum_r, overflow_r = grid_reachable_legs_topk(
-            body_d, quats_d, grid, robot, offs, top_k=top_k, k=k
-        )
-        feasible = int(np.asarray(quorum_r).sum())
-        assert not np.asarray(overflow_r).any(), "top_k undersized"
-    else:
-        feasible = int(
-            np.asarray(
-                grid_reachable_legs(
-                    body_d, quats_d, grid, robot, k=k, offsets=offs
-                )[1]
-            ).sum()
-        )
+    legs_r, quorum_r, overflow_r = final_solve()
+    feasible = int(np.asarray(quorum_r).sum())
+    overflowed = bool(np.asarray(overflow_r).any())
+    if overflowed:
+        print("WARNING: overflow — early-exit quotas starved or top_k "
+              "undersized; result may under-report", flush=True)
     result = {
         "metric": "positionability_poses_per_s",
         "value": round(n_chunk / per, 1),
@@ -255,17 +329,10 @@ def main() -> None:
         "legs": args.legs,
         "quorum": k,
         "feasible_poses_in_chunk": feasible,
-        "grid_build_s": round(t_grid, 3),
         "solve_s_per_chunk": round(per, 4),
-        "candidate_points_per_pose": (top_k or int(offs.shape[0])) * cap,
-        "top_k": top_k,
-        "overflow": bool(locals().get("overflowed", False)),
-        "impl": (
-            "pallas-fused-adaptive" if fused_solver is not None
-            and args.adaptive else
-            "pallas-fused" if fused_solver is not None else "xla"
-        ),
+        "overflow": overflowed,
         "device": jax.devices()[0].platform,
+        **extra,
     }
     print(json.dumps(result))
 
