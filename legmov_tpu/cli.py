@@ -167,6 +167,9 @@ def cmd_solve(args) -> None:
         box_center=tuple(np.median(terrain, axis=0).tolist()),
         box_size=(args.box, args.box, args.box),
         max_depth=args.depth,
+        min_box=(args.min_box,) * 3,
+        enable_rot_below=args.rot_below,
+        legs_for_stability=args.k,
     )
     t0 = time.perf_counter()
     res = solve_positionability(
@@ -217,6 +220,15 @@ def main() -> None:
     p.add_argument("--leg", choices=LEGS, default="m2")
     p.add_argument("--box", type=float, default=5000.0)
     p.add_argument("--depth", type=int, default=1)
+    p.add_argument("--min-box", type=float, default=100.0,
+                   help="per-axis minimum cell half-extent (settings.h:17 "
+                   "MIN_BOX); below enable-rot-below/2 the orientation "
+                   "sweep activates for the refined cells")
+    p.add_argument("--rot-below", type=float, default=50.0,
+                   help="orientation sampling activates for cells smaller "
+                   "than this (settings.h:33 EnableRotBelow)")
+    p.add_argument("--k", type=int, default=4,
+                   help="legs-for-stability quorum (settings.h:46)")
     p.add_argument(
         "--mode",
         choices=("shared", "per-leg"),

@@ -206,6 +206,133 @@ def _eval_cells(
     return any_valid, any_edge, any_leaf
 
 
+def make_fast_cell_eval(robot: LegDimensions, interpret: bool = False):
+    """Identity-orientation `_eval_cells` twin running the fused Pallas
+    single-leg distance kernel.
+
+    Usable whenever orientation sampling is inactive (cells >=
+    ``enable_rot_below``, the bulk of a full-map solve): with the identity
+    quaternion the pitch shift of ``rotate_leg_data`` vanishes, so legs
+    that share geometry and differ only by mount azimuth evaluate through
+    ONE compiled kernel — the azimuth yaw and the world-frame vector
+    restore stay in XLA around the kernel call (one_leg_global.cu:119-127
+    semantics).  Falls back transparently: `solve_positionability` only
+    selects this path on levels where ``use_rot`` is False.
+    """
+    from legmov_tpu.ops.pallas_kernels import make_distance_kernel
+
+    L = int(jax.tree.leaves(robot)[0].shape[0])
+    legs_host = [
+        jax.tree.map(lambda x: np.asarray(x)[i], robot) for i in range(L)
+    ]
+    kernels: dict[tuple, object] = {}
+    per_leg = []
+    for leg in legs_host:
+        key = tuple(
+            float(getattr(leg, f))
+            for f in leg._fields
+            if f != "body_angle"
+        )
+        if key not in kernels:
+            kernels[key] = make_distance_kernel(
+                jax.tree.map(jnp.asarray, leg), interpret=interpret
+            )
+        az = float(leg.body_angle)
+        per_leg.append(
+            (kernels[key],
+             _f32(np.cos(_f32(-az))), _f32(np.sin(_f32(-az))))
+        )
+
+    @partial(
+        jax.jit, static_argnames=("k", "margin", "reach", "chunk", "shared")
+    )
+    def eval_cells(
+        centers, parent_valid, half, parent_half, footholds, quats, robot_,
+        k: int, margin: float, reach: float, chunk: int,
+        use_rot: bool = False, shared: bool = True,
+    ):
+        del quats, robot_, use_rot  # identity orientation by construction
+        C = centers.shape[0]
+        elong = parent_half + jnp.float32(reach)
+        h2 = jnp.sum(half * half)
+        big_cell = h2 > jnp.float32(100.0 * 100.0)
+        n_chunks = footholds.shape[0] // chunk
+        fh = footholds[: n_chunks * chunk].reshape(n_chunks, chunk, 3)
+
+        def per_chunk(carry, fh_c):
+            any_valid, any_edge, any_leaf, leg_acc = carry
+            vect = fh_c[None, :, :] - centers[:, None, :]  # [C, Fc, 3]
+            pre = jnp.all((vect > -elong) & (vect <= elong), axis=-1)
+            vx, vy, vz = vect[..., 0], vect[..., 1], vect[..., 2]
+
+            oks, crosses = [], []
+            certains, possibles = [], []
+            for kern, ca, sa in per_leg:
+                x0 = (vx * ca - vy * sa).reshape(-1)
+                y0 = (vx * sa + vy * ca).reshape(-1)
+                z0 = vz.reshape(-1)
+                ok, dx, dy, dz = kern.soa(x0, y0, z0)
+                # vector back to the world frame (yaw by +azimuth)
+                wx = dx * ca + dy * sa
+                wy = -dx * sa + dy * ca
+                ok = ok.reshape(C, -1)
+                wx = wx.reshape(C, -1)
+                wy = wy.reshape(C, -1)
+                wz = dz.reshape(C, -1)
+                dv = jnp.stack([wx, wy, wz], axis=-1)
+                hm = half + jnp.float32(margin)
+                cross_big = jnp.all((dv > -hm) & (dv <= hm), axis=-1)
+                dv2 = wx * wx + wy * wy + wz * wz
+                cross_small = dv2 < h2 + jnp.float32(margin)
+                cross = jnp.where(big_cell, cross_big, cross_small) & pre
+                okp = ok & pre
+                oks.append(okp)
+                crosses.append(cross)
+                certains.append(jnp.any(okp & ~cross, axis=-1))
+                possibles.append(jnp.any(okp | cross, axis=-1))
+            oks = jnp.stack(oks)  # [L, C, Fc]
+            crosses = jnp.stack(crosses)
+            reach_count = jnp.sum(oks, axis=0)
+            cross_count = jnp.sum(crosses, axis=0)
+            item_valid = ((reach_count >= k) | parent_valid[:, None]) & pre
+            item_edge = (cross_count > (L - k)) & pre
+            la, lc, lp = leg_acc
+            leg_acc = (
+                la | jnp.any(oks, axis=-1)[None],
+                lc | jnp.stack(certains)[None],
+                lp | jnp.stack(possibles)[None],
+            )
+            any_valid |= jnp.any(item_valid, axis=1)
+            any_edge |= jnp.any(item_edge, axis=1)
+            any_leaf |= jnp.any(item_valid & ~item_edge, axis=1)
+            return (any_valid, any_edge, any_leaf, leg_acc), None
+
+        init = (
+            jnp.zeros(C, bool),
+            jnp.zeros(C, bool),
+            jnp.zeros(C, bool),
+            (
+                jnp.zeros((1, L, C), bool),
+                jnp.zeros((1, L, C), bool),
+                jnp.zeros((1, L, C), bool),
+            ),
+        )
+        (any_valid, any_edge, any_leaf, leg_acc), _ = jax.lax.scan(
+            per_chunk, init, fh
+        )
+        if not shared:
+            la, lc, lp = leg_acc
+            counts = jnp.sum(la, axis=1)
+            n_min = jnp.sum(lc, axis=1)
+            n_max = jnp.sum(lp, axis=1)
+            any_valid = jnp.any(counts >= k, axis=0) | parent_valid
+            any_edge = jnp.any((n_min < k) & (n_max >= k), axis=0)
+            any_leaf = any_valid & jnp.logical_not(any_edge)
+        return any_valid, any_edge, any_leaf
+
+    return eval_cells
+
+
 @dataclasses.dataclass
 class CellRecord:
     """Terminal cells of the hierarchical solve."""
@@ -244,6 +371,7 @@ def solve_positionability(
     chunk: int = 512,
     cell_batch: int = 1024,
     shared_foothold: bool = True,
+    use_pallas: str = "auto",
 ) -> CellRecord:
     """Breadth-first hierarchical positionability solve.
 
@@ -260,6 +388,21 @@ def solve_positionability(
     reach = _total_reach(robot)
     quats = jnp.asarray(orientation_samples(cfg))
     min_box = np.asarray(cfg.min_box, _f32)
+
+    # identity-orientation levels can run the fused Pallas distance kernel
+    # (make_fast_cell_eval); orientation-active levels always use the XLA
+    # path (per-quat pitch-shifted workspaces)
+    fast_eval = None
+    if use_pallas != "off":
+        try:
+            import jax as _jax
+
+            interp = _jax.default_backend() != "tpu"
+            if use_pallas == "auto" and interp:
+                raise RuntimeError("no TPU; interpret only on request")
+            fast_eval = make_fast_cell_eval(robot, interpret=interp)
+        except Exception:
+            fast_eval = None
 
     # pad footholds to a chunk multiple with far-away sentinels that the
     # elongated-box prefilter rejects
@@ -298,7 +441,9 @@ def solve_positionability(
             cpad = batch - n
             cc = np.concatenate([children[s:e], np.full((cpad, 3), 1e9, _f32)])
             pv = np.concatenate([child_parent_valid[s:e], np.zeros(cpad, bool)])
-            v, ed, lf = _eval_cells(
+            ev = fast_eval if (fast_eval is not None
+                              and not rot_active) else _eval_cells
+            v, ed, lf = ev(
                 jnp.asarray(cc),
                 jnp.asarray(pv),
                 jnp.asarray(child_half),

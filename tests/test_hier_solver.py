@@ -172,6 +172,32 @@ class TestHierSolver:
         # crosses the 20 mm cell so the per-leg quorum is uncertain
         assert v_nb and e_nb and not l_nb
 
+    def test_pallas_fast_path_matches_xla(self):
+        """Identity-orientation levels may run the fused Pallas distance
+        kernel (make_fast_cell_eval); terminal cells must match the XLA
+        path in both foothold modes."""
+        robot = get_moonbot_robot()
+        fh = ring_footholds()
+        cfg = SolverConfig(
+            box_center=(0.0, 0.0, 0.0),
+            box_size=(800.0, 800.0, 400.0),
+            min_box=(100.0, 100.0, 100.0),
+            max_depth=2,
+            legs_for_stability=1,
+        )
+        for shared in (True, False):
+            a = solve_positionability(
+                fh, robot, cfg, chunk=32, cell_batch=64,
+                shared_foothold=shared, use_pallas="off",
+            )
+            b = solve_positionability(
+                fh, robot, cfg, chunk=32, cell_batch=64,
+                shared_foothold=shared, use_pallas="on",
+            )
+            np.testing.assert_array_equal(a.centers, b.centers)
+            np.testing.assert_array_equal(a.valid, b.valid)
+            np.testing.assert_array_equal(a.edge, b.edge)
+
     def test_refinement_increases_resolution(self):
         robot = get_moonbot_robot()
         fh = ring_footholds()
