@@ -441,6 +441,26 @@ def solve_positionability(
             cpad = batch - n
             cc = np.concatenate([children[s:e], np.full((cpad, 3), 1e9, _f32)])
             pv = np.concatenate([child_parent_valid[s:e], np.zeros(cpad, bool)])
+            # batch-local foothold subset (the octree's elongated-box
+            # pruning at batch granularity, several_leg_octree.cu:76-82):
+            # only points within the batch bbox expanded by parent_half +
+            # reach can pass the per-cell prefilter, and split order keeps
+            # batches spatially coherent — at deep levels this shrinks the
+            # foothold axis by orders of magnitude.  Sizes are bucketed to
+            # powers of two so compilation stays bounded.
+            expand = half + np.float32(reach)
+            lo = children[s:e].min(axis=0) - expand
+            hi = children[s:e].max(axis=0) + expand
+            m = np.all((fh >= lo) & (fh <= hi), axis=1)
+            sub = fh[m]
+            if sub.shape[0] < fh.shape[0] // 2:
+                fsz = max(chunk, 1 << (max(sub.shape[0] - 1, 1)).bit_length())
+                sub = np.concatenate(
+                    [sub, np.full((fsz - sub.shape[0], 3), 1e9, _f32)]
+                )
+                fh_batch = jnp.asarray(sub)
+            else:
+                fh_batch = fh_dev
             ev = fast_eval if (fast_eval is not None
                               and not rot_active) else _eval_cells
             v, ed, lf = ev(
@@ -448,7 +468,7 @@ def solve_positionability(
                 jnp.asarray(pv),
                 jnp.asarray(child_half),
                 jnp.asarray(half),
-                fh_dev,
+                fh_batch,
                 quats,
                 robot,
                 k=k,

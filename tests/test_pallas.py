@@ -79,3 +79,25 @@ def test_soa_entries_match_aos(pts):
         np.stack([np.asarray(dx), np.asarray(dy), np.asarray(dz)], -1),
         np.asarray(vec),
     )
+
+
+@pytest.mark.parametrize("name", list(LEGS))
+def test_distance_opt_flags_parity(name, pts):
+    """The candidate optimizations (rsqrt clamp, linear-form corner
+    tournament) must keep the tolerance contract: exact ok booleans,
+    tight norms, component matches up to rare boundary tie-flips."""
+    leg = LEGS[name]()
+    kd = make_distance_kernel(
+        leg, interpret=True,
+        ablate=frozenset(["opt_rsqrt", "opt_corner_linear"]),
+    )
+    ok_g, v_g = kd(pts)
+    ok_w, v_w = distance_batch(pts, leg)
+    np.testing.assert_array_equal(np.asarray(ok_g), np.asarray(ok_w))
+    v_g, v_w = np.asarray(v_g), np.asarray(v_w)
+    np.testing.assert_allclose(
+        np.linalg.norm(v_g, axis=1), np.linalg.norm(v_w, axis=1),
+        rtol=5e-4, atol=2e-2,
+    )
+    comp_ok = np.all(np.abs(v_g - v_w) <= 2e-2 + 2e-4 * np.abs(v_w), axis=-1)
+    assert comp_ok.mean() > 0.995
