@@ -393,6 +393,7 @@ def solve_positionability(
     # (make_fast_cell_eval); orientation-active levels always use the XLA
     # path (per-quat pitch-shifted workspaces)
     fast_eval = None
+    fast_rot_eval = None
     if use_pallas != "off":
         try:
             import jax as _jax
@@ -401,8 +402,15 @@ def solve_positionability(
             if use_pallas == "auto" and interp:
                 raise RuntimeError("no TPU; interpret only on request")
             fast_eval = make_fast_cell_eval(robot, interpret=interp)
+            from legmov_tpu.ops.pallas_multileg_dist import (
+                make_cell_eval_rot,
+            )
+
+            fast_rot_eval = make_cell_eval_rot(
+                robot, k=k, interpret=interp
+            )
         except Exception:
-            fast_eval = None
+            fast_eval = fast_rot_eval = None
 
     # pad footholds to a chunk multiple with far-away sentinels that the
     # elongated-box prefilter rejects
@@ -461,8 +469,11 @@ def solve_positionability(
                 fh_batch = jnp.asarray(sub)
             else:
                 fh_batch = fh_dev
-            ev = fast_eval if (fast_eval is not None
-                              and not rot_active) else _eval_cells
+            if rot_active:
+                ev = fast_rot_eval if fast_rot_eval is not None \
+                    else _eval_cells
+            else:
+                ev = fast_eval if fast_eval is not None else _eval_cells
             v, ed, lf = ev(
                 jnp.asarray(cc),
                 jnp.asarray(pv),

@@ -165,3 +165,70 @@ def test_csr_solver_matches_topk(rng):
     np.testing.assert_array_equal(
         np.asarray(quorum_a), np.asarray(quorum_t)
     )
+
+
+def test_multileg_distance_kernel_matches_xla(rng):
+    """The fused validity_child kernel (pallas_multileg_dist) must match
+    the XLA per-item logic of hier_solver._eval_cells on every output
+    lane: per-leg any/certain/possible bits and the item
+    valid/edge/leaf reductions."""
+    from legmov_tpu.ops.orientation import distance_oriented
+    from legmov_tpu.ops.pallas_multileg_dist import (
+        make_multileg_distance_kernel,
+        oriented_dist_tables,
+    )
+
+    robot = get_moonbot_robot()
+    L, P, C, k = 4, 8, 256, 2
+    centers = rng.uniform(-200, 200, (P, 3)).astype(np.float32)
+    rpy = rng.uniform(-0.2, 0.2, (P, 3)).astype(np.float32)
+    quats = np.asarray(quat.from_rpy(rpy[:, 0], rpy[:, 1], rpy[:, 2]))
+    pvalid = rng.random(P) < 0.3
+    half = np.asarray([60.0, 60.0, 60.0], np.float32)
+    parent_half = np.asarray([120.0, 120.0, 120.0], np.float32)
+    margin, reach = 16.0, 710.0
+    cand = rng.uniform(-700, 700, (P, C, 3)).astype(np.float32)
+
+    h2 = float((half * half).sum())
+    bigc = h2 > 100.0 * 100.0
+    want = np.zeros((P, 3 * L + 3), bool)
+    for p in range(P):
+        q = jnp.asarray(quats[p])
+        vect = jnp.asarray(cand[p] - centers[p])
+        rel = cand[p] - centers[p]
+        pre = np.all(
+            (rel > -(parent_half + reach)) & (rel <= parent_half + reach),
+            -1,
+        )
+        oks, crs = [], []
+        for l in range(L):
+            leg = jax.tree.map(lambda x: x[l], robot)
+            ok, dv = distance_oriented(vect, leg, q)
+            dv, ok = np.asarray(dv), np.asarray(ok)
+            hm = half + np.float32(margin)
+            cb = np.all((dv > -hm) & (dv <= hm), -1)
+            csm = (dv * dv).sum(-1) < h2 + margin
+            cross = (cb if bigc else csm) & pre
+            okp = ok & pre
+            oks.append(okp)
+            crs.append(cross)
+            want[p, l] = okp.any()
+            want[p, L + l] = (okp & ~cross).any()
+            want[p, 2 * L + l] = (okp | cross).any()
+        rc, cc = np.sum(oks, 0), np.sum(crs, 0)
+        iv = ((rc >= k) | pvalid[p]) & pre
+        ie = (cc > (L - k)) & pre
+        want[p, 3 * L] = iv.any()
+        want[p, 3 * L + 1] = ie.any()
+        want[p, 3 * L + 2] = (iv & ~ie).any()
+
+    tab = oriented_dist_tables(
+        jnp.asarray(centers), jnp.asarray(quats), jnp.asarray(pvalid),
+        jnp.asarray(half), jnp.asarray(parent_half), robot, margin, reach,
+    )
+    fn = make_multileg_distance_kernel(robot, C, k=k, interpret=True)
+    got = np.asarray(
+        fn(tab, jnp.asarray(cand[..., 0]), jnp.asarray(cand[..., 1]),
+           jnp.asarray(cand[..., 2]))
+    )[:, : 3 * L + 3]
+    np.testing.assert_array_equal(got, want)
