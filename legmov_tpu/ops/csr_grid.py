@@ -117,6 +117,13 @@ def make_csr_solver(
     ``window`` (multiple of 128) is the candidate chunk per kernel call;
     ``rounds`` are (n_windows, pose_fraction) like the adaptive dense
     solver (0 = no limit, bounded by each pose's own queue).
+
+    A full-width safety round is always appended, so results are
+    unconditionally exact: when the scheduled rounds already decided
+    every pose, the safety round's live-prefix loop runs ZERO kernel
+    steps (its only cost is the queue bookkeeping); when quotas starved,
+    it finishes the stragglers.  ``overflow`` reports whether the safety
+    round had to do real work (i.e. the schedule was undersized).
     """
     if window % _LANES:
         raise ValueError(f"window {window} not a multiple of {_LANES}")
@@ -251,8 +258,15 @@ def make_csr_solver(
         legs = jnp.zeros((P, L), bool)
         scanned = jnp.zeros((P, C), bool)
         over_quota = jnp.zeros((), bool)
-        for r, (n_windows, frac) in enumerate(rounds):
-            if r == 0:
+        for r, (n_windows, frac) in enumerate(
+            tuple(rounds) + ((0, 1.0),)  # full-width safety round
+        ):
+            if r == 0 or frac >= 1.0:
+                if r > 0:
+                    # the safety round does real work only if the
+                    # scheduled rounds starved some undecided pose
+                    rem = jnp.any(rel & ~scanned[:, :, None], axis=1)
+                    over_quota = jnp.any(jnp.any(~legs & rem, axis=-1))
                 legs, scanned = run_round(
                     tab, col_start, col_len, rel, legs, scanned, n_windows
                 )
@@ -265,7 +279,6 @@ def make_csr_solver(
                 A = min(A, P)
                 rem = jnp.any(rel & ~scanned[:, :, None], axis=1)
                 undone = jnp.any(~legs & rem, axis=-1)
-                over_quota |= jnp.sum(undone) > A
                 _, idx = jax.lax.top_k(undone.astype(jnp.int32), A)
                 legs2, scanned2 = run_round(
                     tab[idx], col_start[idx], col_len[idx], rel[idx],

@@ -440,9 +440,17 @@ def make_adaptive_grid_solver(
         legs = jnp.zeros((P, L), bool)
         scanned = jnp.zeros((P, K), bool)
         over_quota = jnp.zeros((), bool)
-        for r, (n_cells, frac) in enumerate(rounds_eff):
+        # a full-width safety round is always appended: it runs zero
+        # kernel steps when the schedule already decided every pose (the
+        # live-prefix loop bound is 0) and finishes stragglers otherwise,
+        # making results unconditionally exact; ``overflow`` reports
+        # whether it had to do real work
+        for r, (n_cells, frac) in enumerate(rounds_eff + ((K, 1.0),)):
             steps = min(n_cells, K)
-            if r == 0:
+            if r == 0 or frac >= 1.0:
+                if r > 0:
+                    rem = jnp.any(rel & ~scanned[:, :, None], axis=1)
+                    over_quota = jnp.any(jnp.any(~legs & rem, axis=-1))
                 legs, scanned = run_round(
                     tab, flat, rel, legs, scanned, steps
                 )
@@ -457,7 +465,6 @@ def make_adaptive_grid_solver(
                 # unscanned cells
                 rem = jnp.any(rel & ~scanned[:, :, None], axis=1)  # [P, L]
                 undone = jnp.any(~legs & rem, axis=-1)
-                over_quota |= jnp.sum(undone) > A
                 _, idx = jax.lax.top_k(undone.astype(jnp.int32), A)
                 legs2, scanned2 = run_round(
                     tab[idx], flat[idx], rel[idx], legs[idx],

@@ -116,15 +116,20 @@ def test_adaptive_grid_solver_matches_topk(rng):
     )
     assert 0 < int(np.asarray(quorum_t).sum()) < P
 
-    # starved quotas must flag overflow instead of silently under-reporting
+    # starved quotas: the appended full-width safety round must finish
+    # the stragglers (results stay exact) and flag that it had to
     tight = make_adaptive_grid_solver(
-        robot, cap_pad, interpret=True, rounds=((4, 1.0), (0, 0.03)),
+        robot, cap_pad, interpret=True, rounds=((4, 1.0), (8, 0.03)),
     )
-    _, _, ovf_t = tight(
+    legs_s, quorum_s, ovf_t = tight(
         body, quats, gx, gy, gz, g.counts, g.origin, g.cell_size, offs,
         top_k=0, k=4, dims=g.dims,
     )
     assert bool(np.asarray(ovf_t))
+    np.testing.assert_array_equal(np.asarray(legs_s), np.asarray(legs_t))
+    np.testing.assert_array_equal(
+        np.asarray(quorum_s), np.asarray(quorum_t)
+    )
 
 
 def test_csr_solver_matches_topk(rng):
