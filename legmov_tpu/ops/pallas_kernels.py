@@ -249,19 +249,25 @@ def make_reachability_kernel(leg: LegDimensions, block_rows: int = 256,
     return fn
 
 
+DIST_DEFAULT_OPTS = frozenset(["opt_rsqrt", "opt_corner_linear"])
+
+
 def make_distance_kernel(leg: LegDimensions, block_rows: int = 128,
                          interpret: bool = False,
-                         ablate: frozenset = frozenset()):
+                         ablate: frozenset = DIST_DEFAULT_OPTS):
     """Jitted ``[N, 3] -> ([N] bool, [N, 3])`` Pallas distance evaluator.
 
     Semantics of ops/distance.py ``distance_xyz`` (incl. the pi-flip dual
     evaluation, coxa saturation and the limit-plane alternative) with the
     leg workspace baked in.
 
-    ``ablate`` is for PROFILING ONLY (tools/dist_kernel_probe.py): members
-    of {"no_corners", "no_validate", "single_branch"} disable kernel
-    sections to attribute device time — the results are WRONG with any
-    ablation active.
+    ``ablate`` defaults to the tolerance-preserving optimizations
+    (``opt_rsqrt``: one rsqrt + two muls instead of sqrt + divide per
+    clamp; ``opt_corner_linear``: expanded-linear-form corner tournament)
+    — parity-tested in tests/test_pallas.py.  The remaining members
+    {"no_corners", "no_validate", "single_branch"} are for PROFILING ONLY
+    (tools/dist_kernel_probe.py): they disable kernel sections to
+    attribute device time — results are WRONG with any of them active.
     """
     ws = _concrete_ws(leg)
     coxa_length = float(ws.coxa_length)

@@ -82,15 +82,13 @@ def test_soa_entries_match_aos(pts):
 
 
 @pytest.mark.parametrize("name", list(LEGS))
-def test_distance_opt_flags_parity(name, pts):
-    """The candidate optimizations (rsqrt clamp, linear-form corner
-    tournament) must keep the tolerance contract: exact ok booleans,
-    tight norms, component matches up to rare boundary tie-flips."""
+def test_distance_plain_variant_parity(name, pts):
+    """The un-optimized kernel variant (no rsqrt clamp, sequential corner
+    loop) must also keep the tolerance contract — both variants stay
+    covered since the optimized one is now the default
+    (test_distance_parity)."""
     leg = LEGS[name]()
-    kd = make_distance_kernel(
-        leg, interpret=True,
-        ablate=frozenset(["opt_rsqrt", "opt_corner_linear"]),
-    )
+    kd = make_distance_kernel(leg, interpret=True, ablate=frozenset())
     ok_g, v_g = kd(pts)
     ok_w, v_w = distance_batch(pts, leg)
     np.testing.assert_array_equal(np.asarray(ok_g), np.asarray(ok_w))
