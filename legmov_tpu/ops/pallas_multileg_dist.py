@@ -528,10 +528,25 @@ def make_cell_eval_rot(
         C = centers.shape[0]
         S = quats.shape[0]
         P = C * S
-        # (cell, quat) items, cell-major so reshape recovers [C, S]
+        # (cell, quat) items, cell-major so reshape recovers [C, S];
+        # padded to a POSE_ROWS multiple (pad rows are far-away cells
+        # whose prefilter rejects everything)
+        pad_rows = (-P) % POSE_ROWS
         items_pos = jnp.repeat(centers, S, axis=0)
         items_q = jnp.tile(quats, (C, 1))
         items_pv = jnp.repeat(parent_valid, S)
+        if pad_rows:
+            items_pos = jnp.concatenate(
+                [items_pos, jnp.full((pad_rows, 3), jnp.float32(1e9))]
+            )
+            items_q = jnp.concatenate(
+                [items_q,
+                 jnp.tile(jnp.asarray([[1.0, 0, 0, 0]], jnp.float32),
+                          (pad_rows, 1))]
+            )
+            items_pv = jnp.concatenate(
+                [items_pv, jnp.zeros(pad_rows, bool)]
+            )
         tab = oriented_dist_tables(
             items_pos, items_q, items_pv, half, parent_half, robot,
             margin, reach,
@@ -553,9 +568,9 @@ def make_cell_eval_rot(
             )
             return acc | got, None
 
-        acc0 = jnp.zeros((P, _LANES), bool)
+        acc0 = jnp.zeros((P + pad_rows, _LANES), bool)
         lanes, _ = jax.lax.scan(per_chunk, acc0, fh)
-        lanes = lanes.reshape(C, S, _LANES)
+        lanes = lanes[:P].reshape(C, S, _LANES)
         # per-leg bits [C, S, L]
         leg_any = lanes[:, :, :L]
         leg_cert = lanes[:, :, L : 2 * L]
