@@ -13,6 +13,7 @@ from legmov_tpu.parallel.sharding import (
     sharded_reachability,
     sharded_distance,
     sharded_positionable,
+    sharded_csr_positionable,
     sharded_grid_positionable,
 )
 
@@ -21,5 +22,6 @@ __all__ = [
     "sharded_reachability",
     "sharded_distance",
     "sharded_positionable",
+    "sharded_csr_positionable",
     "sharded_grid_positionable",
 ]

@@ -122,6 +122,44 @@ def sharded_positionable(mesh: Mesh, k: int | None = None):
     return fn
 
 
+def sharded_csr_positionable(
+    mesh: Mesh, solver, columns, cell_size: float, dims: tuple, k: int = 0
+):
+    """Map-scale CSR positionability sharded over the full mesh.
+
+    ``solver`` is a ``legmov_tpu.ops.csr_grid.make_csr_solver`` instance;
+    poses shard across every chip, the CSR foothold arrays are replicated
+    (12 B/point — tens of MB even at 10M points), and the early-exit
+    machinery runs independently per shard (no collectives needed: the
+    per-pose quorum is chip-local, matching BASELINE's
+    "footholds replicated, poses sharded" layout).  The per-shard pose
+    count must be a multiple of POSE_ROWS.
+    """
+
+    @jax.jit
+    def fn(body_pos, body_quat, xs, ys, zs, starts, origin):
+        def local(b, q, xs_, ys_, zs_, st_, og_):
+            legs, quorum, _ = solver(
+                b, q, xs_, ys_, zs_, st_, og_, columns,
+                cell_size=cell_size, k=k, dims=dims,
+            )
+            return quorum
+
+        # check_vma off: the solver's while-loop carries start replicated
+        # and become device-varying (same situation as
+        # sharded_grid_positionable)
+        return jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(("poses", "points")), P(("poses", "points")),
+                      P(), P(), P(), P(), P()),
+            out_specs=P(("poses", "points")),
+            check_vma=False,
+        )(body_pos, body_quat, xs, ys, zs, starts, origin)
+
+    return fn
+
+
 def sharded_grid_positionable(mesh: Mesh, k: int = 0):
     """Map-scale positionability sharded over the ``poses`` mesh axis.
 
