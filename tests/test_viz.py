@@ -46,3 +46,24 @@ def test_slice_and_volume():
     reach = np.zeros(pts.shape[0], bool)
     reach[:100] = True
     assert reachable_volume_m3(reach, 10.0) == 100 * 1e3 / 1e9
+
+
+def test_live_view_frame_fn():
+    """The slice explorer's frame function: slice moves must not
+    recompile (cut is traced) and both slice axes must render finite
+    norm images."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import jax.numpy as jnp
+    from live_view import make_frame_fn, derivative_shade
+    from legmov_tpu import get_m2_leg
+
+    frame = make_frame_fn(get_m2_leg(), 64, 32, 8.0, use_pallas=False)
+    a = np.asarray(frame(jnp.float32(0.0), jnp.bool_(True)))
+    b = np.asarray(frame(jnp.float32(100.0), jnp.bool_(True)))
+    c = np.asarray(frame(jnp.float32(-200.0), jnp.bool_(False)))
+    assert a.shape == (32, 64) and np.isfinite(a).all()
+    assert not np.array_equal(a, b)  # the slice actually moved
+    assert np.isfinite(c).all()
+    d = derivative_shade(a)
+    assert d.shape == a.shape and (d >= 0).all()
