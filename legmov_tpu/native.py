@@ -28,6 +28,17 @@ def _load():
     if _lib is not None or _tried:
         return _lib
     _tried = True
+    src = os.path.join(_NATIVE_DIR, "legmov_native.cpp")
+    stale = (
+        os.path.exists(_SO)
+        and os.path.exists(src)
+        and os.path.getmtime(src) > os.path.getmtime(_SO)
+    )
+    if stale:
+        try:
+            os.remove(_SO)
+        except OSError:
+            pass
     if not os.path.exists(_SO):
         try:
             subprocess.run(
@@ -53,6 +64,11 @@ def _load():
     lib.bucket_max_count.restype = ctypes.c_int64
     lib.bucket_max_count.argtypes = [
         f32p, ctypes.c_int64, f32p, ctypes.c_float, i64p, i32p,
+    ]
+    lib.csr_grid.restype = ctypes.c_int
+    lib.csr_grid.argtypes = [
+        f32p, ctypes.c_int64, f32p, ctypes.c_float, i64p, f32p, f32p, f32p,
+        i32p, i32p,
     ]
     lib.aos_to_soa.restype = None
     lib.aos_to_soa.argtypes = [f32p, ctypes.c_int64, f32p, f32p, f32p]
@@ -111,6 +127,46 @@ def bucket_grid(
     if rc != 0:
         raise ValueError("bucket_grid: point outside grid dims")
     return table, counts
+
+
+def csr_grid(pts: np.ndarray, origin: np.ndarray, cell: float, dims):
+    """``(xs, ys, zs [F] f32 cell-sorted, starts [n_cells+1] int32)`` —
+    native OpenMP counting sort when available, NumPy argsort otherwise.
+    Point order within a cell is nondeterministic in the native path."""
+    lib = _load()
+    pts = np.ascontiguousarray(pts, np.float32)
+    origin = np.ascontiguousarray(origin, np.float32)
+    dims_a = np.asarray(dims, np.int64)
+    n_cells = int(dims_a.prod())
+    n = pts.shape[0]
+    if lib is None:
+        idx = np.floor((pts - origin) / cell).astype(np.int64)
+        if idx.size and ((idx < 0).any() or (idx >= dims_a).any()):
+            raise ValueError("csr_grid: point outside grid dims")
+        flat = (idx[:, 0] * dims_a[1] + idx[:, 1]) * dims_a[2] + idx[:, 2]
+        order = np.argsort(flat, kind="stable")
+        srt = pts[order]
+        counts = np.bincount(flat[order], minlength=n_cells)
+        starts = np.zeros(n_cells + 1, np.int32)
+        np.cumsum(counts, out=starts[1:], dtype=np.int32)
+        return (
+            np.ascontiguousarray(srt[:, 0]),
+            np.ascontiguousarray(srt[:, 1]),
+            np.ascontiguousarray(srt[:, 2]),
+            starts,
+        )
+    xs = np.empty(n, np.float32)
+    ys = np.empty(n, np.float32)
+    zs = np.empty(n, np.float32)
+    starts = np.zeros(n_cells + 1, np.int32)
+    scratch = np.zeros(n_cells, np.int32)
+    rc = lib.csr_grid(
+        pts, n, origin, np.float32(cell), dims_a, xs, ys, zs, starts,
+        scratch,
+    )
+    if rc != 0:
+        raise ValueError("csr_grid: point outside grid dims")
+    return xs, ys, zs, starts
 
 
 def aos_to_soa(aos: np.ndarray):

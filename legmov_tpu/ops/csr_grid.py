@@ -67,21 +67,18 @@ def build_csr_grid(footholds: np.ndarray, cell_size: float) -> CSRGrid:
             origin=jnp.zeros(3, jnp.float32),
             cell_size=float(cell_size), dims=(1, 1, 1),
         )
+    from legmov_tpu import native
+
     origin = fh.min(axis=0)
     idx = np.floor((fh - origin) / cell_size).astype(np.int64)
     dims = tuple(int(d) + 1 for d in idx.max(axis=0))
-    nx, ny, nz = dims
-    flat = (idx[:, 0] * ny + idx[:, 1]) * nz + idx[:, 2]
-    order = np.argsort(flat, kind="stable")
-    fh = fh[order]
-    counts = np.bincount(flat[order], minlength=nx * ny * nz)
-    starts = np.zeros(nx * ny * nz + 1, np.int64)
-    np.cumsum(counts, out=starts[1:])
+    # native OpenMP counting sort when built; NumPy argsort fallback
+    xs, ys, zs, starts = native.csr_grid(fh, origin, cell_size, dims)
     return CSRGrid(
-        xs=jnp.asarray(np.ascontiguousarray(fh[:, 0])),
-        ys=jnp.asarray(np.ascontiguousarray(fh[:, 1])),
-        zs=jnp.asarray(np.ascontiguousarray(fh[:, 2])),
-        starts=jnp.asarray(starts.astype(np.int32)),
+        xs=jnp.asarray(xs),
+        ys=jnp.asarray(ys),
+        zs=jnp.asarray(zs),
+        starts=jnp.asarray(starts),
         origin=jnp.asarray(origin),
         cell_size=float(cell_size),
         dims=dims,

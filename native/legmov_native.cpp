@@ -86,6 +86,59 @@ int64_t bucket_max_count(const float* pts, int64_t n, const float* origin,
     return mx;
 }
 
+// CSR build: sort pts[n,3] by cell id (z-fastest flat order) into SoA
+// component arrays xs/ys/zs[n] + starts[n_cells+1] prefix offsets — the
+// storage consumed by ops/csr_grid.py (12 B/point, no fixed-cap padding).
+// Counting sort: atomic per-cell count, exclusive prefix, atomic-slot
+// scatter; order within a cell is nondeterministic (cell membership, not
+// order, is what the solvers reduce over).  Returns 0, or -1 if any point
+// is outside dims.
+int csr_grid(const float* pts, int64_t n, const float* origin, float cell,
+             const int64_t* dims, float* xs, float* ys, float* zs,
+             int32_t* starts /* n_cells+1 */, int32_t* scratch /* n_cells */) {
+    const int64_t nx = dims[0], ny = dims[1], nz = dims[2];
+    const int64_t n_cells = nx * ny * nz;
+    std::atomic<int32_t>* cnt =
+        reinterpret_cast<std::atomic<int32_t>*>(scratch);
+    for (int64_t c = 0; c < n_cells; c++) scratch[c] = 0;
+
+    std::atomic<int> bad(0);
+#pragma omp parallel for
+    for (int64_t i = 0; i < n; i++) {
+        const float* p = pts + i * 3;
+        int64_t ix = (int64_t)std::floor((p[0] - origin[0]) / cell);
+        int64_t iy = (int64_t)std::floor((p[1] - origin[1]) / cell);
+        int64_t iz = (int64_t)std::floor((p[2] - origin[2]) / cell);
+        if (ix < 0 || iy < 0 || iz < 0 || ix >= nx || iy >= ny || iz >= nz) {
+            bad.store(1, std::memory_order_relaxed);
+            continue;
+        }
+        cnt[(ix * ny + iy) * nz + iz].fetch_add(1,
+                                                std::memory_order_relaxed);
+    }
+    if (bad.load()) return -1;
+
+    starts[0] = 0;
+    for (int64_t c = 0; c < n_cells; c++)
+        starts[c + 1] = starts[c] + scratch[c];
+
+    // reuse scratch as per-cell write cursors
+    for (int64_t c = 0; c < n_cells; c++) scratch[c] = starts[c];
+#pragma omp parallel for
+    for (int64_t i = 0; i < n; i++) {
+        const float* p = pts + i * 3;
+        int64_t ix = (int64_t)std::floor((p[0] - origin[0]) / cell);
+        int64_t iy = (int64_t)std::floor((p[1] - origin[1]) / cell);
+        int64_t iz = (int64_t)std::floor((p[2] - origin[2]) / cell);
+        int64_t flat = (ix * ny + iy) * nz + iz;
+        int32_t dst = cnt[flat].fetch_add(1, std::memory_order_relaxed);
+        xs[dst] = p[0];
+        ys[dst] = p[1];
+        zs[dst] = p[2];
+    }
+    return 0;
+}
+
 // [n,3] AoS -> 3x[n] SoA (the .bin component-file layout,
 // math_util.cpp:130-170 savef3Arrayto3files).
 void aos_to_soa(const float* aos, int64_t n, float* x, float* y, float* z) {

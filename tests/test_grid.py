@@ -164,3 +164,39 @@ def test_topk_matches_exhaustive(rng):
         body, quats, g, robot, offs, top_k=4, k=0
     )
     assert np.asarray(overflow_small).any()
+
+
+def test_native_csr_grid_matches_fallback():
+    """Native OpenMP CSR counting sort vs the NumPy fallback: identical
+    prefix offsets and per-cell membership (order within a cell is
+    explicitly nondeterministic in the native path)."""
+    import legmov_tpu.native as nat
+
+    rng = np.random.default_rng(21)
+    pts = rng.uniform(-500, 500, (20000, 3)).astype(np.float32)
+    origin = pts.min(axis=0)
+    cell = 111.0
+    dims = tuple(
+        int(d) + 1
+        for d in np.floor((pts - origin) / cell).astype(np.int64).max(0)
+    )
+
+    def canon(xs, ys, zs, starts):
+        segs = []
+        for c in range(starts.size - 1):
+            seg = np.stack(
+                [xs[starts[c]:starts[c + 1]], ys[starts[c]:starts[c + 1]],
+                 zs[starts[c]:starts[c + 1]]], -1,
+            )
+            segs.append(seg[np.lexsort(seg.T)])
+        return np.concatenate(segs)
+
+    a = nat.csr_grid(pts, origin, cell, dims)
+    lib, tried = nat._lib, nat._tried
+    nat._lib, nat._tried = None, True
+    try:
+        b = nat.csr_grid(pts, origin, cell, dims)
+    finally:
+        nat._lib, nat._tried = lib, tried
+    np.testing.assert_array_equal(a[3], b[3])
+    np.testing.assert_array_equal(canon(*a), canon(*b))
