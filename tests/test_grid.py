@@ -200,3 +200,22 @@ def test_native_csr_grid_matches_fallback():
         nat._lib, nat._tried = lib, tried
     np.testing.assert_array_equal(a[3], b[3])
     np.testing.assert_array_equal(canon(*a), canon(*b))
+
+
+def test_ball_columns_cover_offsets_nearest_first():
+    """Column decomposition must cover exactly the offset ball with
+    contiguous z-ranges, ordered nearest-first by horizontal distance."""
+    from legmov_tpu.ops.csr_grid import ball_columns
+    from legmov_tpu.ops.grid import neighbor_offsets
+
+    offs = neighbor_offsets(250.0, 510.0)
+    cols = ball_columns(offs)
+    covered = {
+        (int(i), int(j), int(k))
+        for i, j, zlo, zhi in cols
+        for k in range(int(zlo), int(zhi) + 1)
+    }
+    assert covered == {tuple(map(int, o)) for o in offs}
+    d2 = [int(i) * int(i) + int(j) * int(j) for i, j, _, _ in cols]
+    assert d2 == sorted(d2)
+    assert d2[0] == 0  # the pose's own column first
