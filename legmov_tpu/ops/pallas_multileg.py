@@ -39,12 +39,17 @@ POSE_ROWS = 8
 _LANES = 128
 
 #: per-leg slice layout inside the packed table (offsets relative to the
-#: leg block start): linear-form circle params [2 region, 2 ext, 4 slot]
-#: flattened r*8 + e*4 + s.
-_AX, _AY, _R2K, _HI2K, _LO2K, _ATT = 0, 16, 32, 48, 64, 80
-_MID_DIR, _MID_NEG, _SAT_DIR, _SAT_NEG = 96, 98, 99, 103
-LEG_BLOCK = 105
+#: leg block start): linear-form params for the 6 UNIQUE circles
+#: [inner, outer, fa_neg, fa_pos, wing_neg, wing_pos] (x 5 params), the
+#: 4 region-construction bits (fal_low, fal_up, falo_low, falo_up), and
+#: the region threshold directions.
+_AX, _AY, _R2K, _HI2K, _LO2K = 0, 6, 12, 18, 24
+_FAL = 30  # fal_low, fal_up, falo_low, falo_up
+_MID_DIR, _MID_NEG, _SAT_DIR, _SAT_NEG = 34, 36, 37, 41
+LEG_BLOCK = 43
 _HDR = 7  # quat (4) + body position (3)
+#: unique-circle indices
+_INNER, _OUTER, _FAN, _FAP, _WN, _WP = range(6)
 
 
 def table_width(n_legs: int) -> int:
@@ -59,25 +64,55 @@ def oriented_tables(
 
     XLA-side precompute (O(P x L) scalar trig — negligible next to the
     candidate axis): per (pose, leg), rotate the absolute-tibia limits by
-    the pose pitch (one_leg_global.cu:48-60), rebuild the circle tables
-    and fold them into the expanded linear form
-    ``t = q - 2 cx xp - 2 cy yp``  vs thresholds with the center norm
+    the pose pitch (one_leg_global.cu:48-60), rebuild the circle tables,
+    extract the 6 UNIQUE circles (the [2,2,4] slot table references only
+    inner/outer/fromabove+-/winglet+-; which circle sits in which slot is
+    the region-construction logic, which the kernel re-evaluates from the
+    fal/falo bits), and fold each into the expanded linear form
+    ``t = q - 2 cx xp - 2 cy yp`` vs thresholds with the center norm
     pre-subtracted.
     """
 
     def per_pose(q):
         def per_leg(leg):
-            ws = build_workspace(rotate_leg_data(q, leg))
-            cx = ws.circle_x.reshape(-1)
-            cy = ws.circle_y.reshape(-1)
+            oriented = rotate_leg_data(q, leg)
+            ws = build_workspace(oriented)
+            # unique circles out of the slot tables (identity positions
+            # fixed by workspace.region_slots): slot1 of r0 = fa_neg,
+            # slot2 of r1 = fa_pos, slot3 of r0/r1 = wing_neg/wing_pos,
+            # slot0 = inner; outer occupies the attractive slot of the
+            # ext variants (fal decides which one)
+            fal_low = jnp.logical_not(
+                oriented.min_angle_femur < oriented.tibia_absolute_neg
+            )
+            fal_up = oriented.max_angle_femur < oriented.tibia_absolute_pos
+            falo_low = jnp.logical_not(
+                oriented.max_angle_femur < oriented.tibia_absolute_pos
+            )
+            falo_up = oriented.min_angle_femur < oriented.tibia_absolute_neg
+
+            def tabsel(t):
+                # -> [6] unique values ordered
+                # [inner, outer, fa_neg, fa_pos, wing_neg, wing_pos]
+                outer = jnp.where(fal_low, t[0, 1, 3], t[0, 1, 1])
+                fa_pos = t[1, 0, 2]
+                return jnp.stack([
+                    t[0, 0, 0], outer, t[0, 0, 1], fa_pos,
+                    t[0, 0, 3], t[1, 0, 3],
+                ])
+
+            cx = tabsel(ws.circle_x)
+            cy = tabsel(ws.circle_y)
             k = cx * cx + cy * cy
             parts = [
                 -2.0 * cx,
                 -2.0 * cy,
-                ws.circle_r2.reshape(-1) - k,
-                ws.circle_hi2.reshape(-1) - k,
-                ws.circle_lo2.reshape(-1) - k,
-                ws.circle_attract.reshape(-1).astype(jnp.float32),
+                tabsel(ws.circle_r2) - k,
+                tabsel(ws.circle_hi2) - k,
+                tabsel(ws.circle_lo2) - k,
+                jnp.stack([fal_low, fal_up, falo_low, falo_up]).astype(
+                    jnp.float32
+                ),
                 ws.mid_dir.reshape(-1),
                 ws.mid_neg.reshape(-1).astype(jnp.float32),
                 ws.sat_dir.reshape(-1),
@@ -206,31 +241,51 @@ def make_multileg_kernel(
             gt_hi = _bsel(nn, sat_hi_neg | cross_hi, sat_hi_neg & cross_hi)
             ext = upper ^ _bsel(upper, gt_hi, gt_lo)
 
-            # four (region, ext) configurations, linear-form circle tests
+            # 6 unique circles once each (both validity polarities), then
+            # the four (region, ext) configurations as boolean algebra on
+            # the per-pose fal/falo construction bits — the slot tables'
+            # region logic (workspace.region_slots) re-evaluated per
+            # point-tile instead of storing 16 pre-selected slots
             q2 = xp * xp + yp * yp
-            v = [[None, None], [None, None]]
-            for r in range(2):
-                for e in range(2):
-                    ok = None
-                    for slot in range(4):
-                        idx = r * 8 + e * 4 + slot
-                        t = (
-                            q2
-                            + s(off + _AX + idx) * xp
-                            + s(off + _AY + idx) * yp
-                        )
-                        inside = t <= s(off + _R2K + idx)
-                        near = (t < s(off + _HI2K + idx)) & (
-                            t > s(off + _LO2K + idx)
-                        )
-                        att = s(off + _ATT + idx) > 0.5
-                        good = _bsel(att, inside, ~inside) | near
-                        ok = good if ok is None else ok & good
-                    v[r][e] = ok
+            pos, neg = [], []
+            for u in range(6):
+                t = (
+                    q2
+                    + s(off + _AX + u) * xp
+                    + s(off + _AY + u) * yp
+                )
+                inside = t <= s(off + _R2K + u)
+                near = (t < s(off + _HI2K + u)) & (
+                    t > s(off + _LO2K + u)
+                )
+                pos.append(inside | near)
+                neg.append((~inside) | near)
+            b_fal_low = s(off + _FAL) > 0.5
+            b_fal_up = s(off + _FAL + 1) > 0.5
+            b_falo_low = s(off + _FAL + 2) > 0.5
+            b_falo_up = s(off + _FAL + 3) > 0.5
+            # lower region: [inner, fa_neg(att=!fal), excl(rep), wing]
+            excl0 = _bsel(b_falo_low, neg[_WP], neg[_FAP])
+            other0 = _bsel(b_fal_low, neg[_FAN], pos[_FAN])
+            wing0 = _bsel(b_fal_low, pos[_WN], neg[_WN])
+            base0 = neg[_INNER] & excl0
+            v00 = base0 & other0 & wing0
+            other0e = _bsel(b_fal_low, other0, pos[_OUTER])
+            wing0e = _bsel(b_fal_low, pos[_OUTER], wing0)
+            v01 = base0 & other0e & wing0e
+            # upper region: [inner, excl(rep), fa_pos(att=!fal), wing]
+            excl1 = _bsel(b_falo_up, neg[_WN], neg[_FAN])
+            other1 = _bsel(b_fal_up, neg[_FAP], pos[_FAP])
+            wing1 = _bsel(b_fal_up, pos[_WP], neg[_WP])
+            base1 = neg[_INNER] & excl1
+            v10 = base1 & other1 & wing1
+            other1e = _bsel(b_fal_up, other1, pos[_OUTER])
+            wing1e = _bsel(b_fal_up, pos[_OUTER], wing1)
+            v11 = base1 & other1e & wing1e
             plane_ok = _bsel(
                 upper,
-                _bsel(ext, v[1][1], v[1][0]),
-                _bsel(ext, v[0][1], v[0][0]),
+                _bsel(ext, v11, v10),
+                _bsel(ext, v01, v00),
             )
             reach = (
                 plane_ok
