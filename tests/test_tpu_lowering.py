@@ -1,0 +1,70 @@
+"""Mosaic TPU-lowerability of every Pallas kernel, checked on CPU.
+
+Cross-platform lowering (``.trace(...).lower(lowering_platforms=("tpu",))``)
+runs the full Pallas -> Mosaic lowering pipeline without a TPU device, so
+unsupported primitives (atan2, bool selects, bad tile shapes...) fail HERE
+in CI instead of minutes into a remote compile on the chip.  (Verified
+against a negative control: an atan2 kernel raises NotImplementedError on
+this path.)  This does not cover backend register/VMEM compilation, but it
+pins the lowering contract for every kernel variant we ship.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from legmov_tpu.models.leg import get_m2_leg
+from legmov_tpu.models.robot import HEX_MOUNTS, get_moonbot_robot, make_robot
+
+
+def _lowers(fn, *args) -> None:
+    jax.jit(fn).trace(*args).lower(lowering_platforms=("tpu",))
+
+
+def test_reachability_kernel_lowers():
+    from legmov_tpu.ops.pallas_kernels import make_reachability_kernel
+
+    kr = make_reachability_kernel(get_m2_leg())
+    _lowers(lambda p: kr(p), jnp.zeros((32768, 3), jnp.float32))
+
+
+@pytest.mark.parametrize(
+    "ablate",
+    [frozenset(), frozenset(["opt_rsqrt", "opt_corner_linear"])],
+    ids=["plain", "opts"],
+)
+def test_distance_kernel_lowers(ablate):
+    from legmov_tpu.ops.pallas_kernels import make_distance_kernel
+
+    kd = make_distance_kernel(get_m2_leg(), ablate=ablate)
+    _lowers(lambda p: kd(p), jnp.zeros((16384, 3), jnp.float32))
+
+
+def test_multileg_reach_kernel_lowers():
+    from legmov_tpu.ops.pallas_multileg import (
+        make_multileg_kernel,
+        oriented_tables,
+        table_width,
+    )
+
+    robot = make_robot(HEX_MOUNTS)
+    fn = make_multileg_kernel(robot, 512)
+    tab = jnp.zeros((64, table_width(6)), jnp.float32)
+    c = jnp.zeros((64, 512), jnp.float32)
+    _lowers(lambda t, x, y, z: fn(t, x, y, z), tab, c, c, c)
+
+
+def test_multileg_distance_kernel_lowers():
+    from legmov_tpu.ops.pallas_multileg_dist import (
+        make_multileg_distance_kernel,
+        table_width,
+    )
+
+    robot = get_moonbot_robot()
+    fn = make_multileg_distance_kernel(robot, 512, k=3)
+    tab = jnp.zeros((64, table_width(4)), jnp.float32)
+    c = jnp.zeros((64, 512), jnp.float32)
+    cs = jnp.zeros((1, 512), jnp.float32)  # shared-candidate variant too
+    _lowers(lambda t, x, y, z: fn(t, x, y, z), tab, c, c, c)
+    _lowers(lambda t, x, y, z: fn(t, x, y, z), tab, cs, cs, cs)
