@@ -149,6 +149,17 @@ def make_multileg_kernel(
     W = table_width(L)
     if cand_cols % _LANES:
         raise ValueError(f"cand_cols {cand_cols} not a multiple of {_LANES}")
+    if cand_cols > 8192:
+        # [POSE_ROWS, cand_cols] f32 tiles x the kernel's live values
+        # approach the 16 MB VMEM budget and the Mosaic compile becomes
+        # pathological (observed: a cap_pad=21120 dense-table kernel
+        # wedging the remote compile service). Dense terrain should go
+        # through ops/csr_grid.make_csr_solver, which streams fixed
+        # windows of real candidates instead of max-cell-capacity rows.
+        raise ValueError(
+            f"cand_cols {cand_cols} > 8192: this dense-table kernel is "
+            "not VMEM-viable at that width — use the CSR windowed solver"
+        )
 
     # leg-static immediates (orientation does not shift these)
     legs_const = []
