@@ -12,13 +12,17 @@ candidates).  Per-pose quantities (quaternion, body position, and the
 orientation-dependent workspace tables of every leg) ride in one packed
 ``[P, W]`` table whose ``[8, 1]`` column slices broadcast against the
 candidate lanes.  Tables are precomputed by XLA (:func:`oriented_tables`)
-in the expanded linear circle form of ops/pallas_kernels.py (2 FMA + 3
-compares per circle test).  Leg-static scalars (mount azimuth, coxa pitch
-frame, coxa yaw-limit directions) are baked as Python-float immediates.
+as the 6 UNIQUE circles (inner/outer/fromabove+-/winglet+-) in the
+expanded linear form of ops/pallas_kernels.py (2 FMA + 3 compares per
+circle, each evaluated ONCE) plus the 4 region-construction bits
+(fal/falo); the kernel re-derives the four (region, ext) slot
+configurations as boolean algebra on those bits instead of storing 16
+pre-selected slots.  Leg-static scalars (mount azimuth, coxa pitch frame,
+coxa yaw-limit directions) are baked as Python-float immediates.
 
-The candidate axis is the second grid dimension with an accumulating
-``[P, 128]`` uint8 output (lane l = leg l's any-candidate bit), relying on
-TPU's guaranteed sequential grid order.
+The whole candidate block is evaluated per grid step with the per-leg
+any-candidate OR reduced in-kernel into a ``[P, 128]`` output (lane l =
+leg l's bit).
 """
 
 from __future__ import annotations
