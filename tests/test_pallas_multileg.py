@@ -237,3 +237,23 @@ def test_multileg_distance_kernel_matches_xla(rng):
            jnp.asarray(cand[..., 2]))
     )[:, : 3 * L + 3]
     np.testing.assert_array_equal(got, want)
+
+
+def test_solver_fuzz_smoke():
+    """Three randomized trials of the fuzz harness (tools/solver_fuzz.py)
+    — CSR and adaptive solvers exact vs the exhaustive path on random
+    terrain/robot/quorum/window/schedule draws."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "solver_fuzz.py"),
+         "--trials", "3", "--seed", "100"],
+        capture_output=True, text=True, timeout=900,
+        env={**os.environ, "JAX_PLATFORMS": "cpu",
+             "PALLAS_AXON_POOL_IPS": ""},
+        cwd=repo,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
