@@ -106,6 +106,7 @@ def make_csr_solver(
     robot: LegDimensions, window: int = 2048, interpret: bool = False,
     rounds: tuple = ((12, 1.0), (24, 0.5), (48, 0.25), (96, 0.125),
                      (0, 0.0625)),
+    decide: str = "legs",
 ):
     """Windowed CSR positionability solver.
 
@@ -121,7 +122,23 @@ def make_csr_solver(
     steps (its only cost is the queue bookkeeping); when quotas starved,
     it finishes the stragglers.  ``overflow`` reports whether the safety
     round had to do real work (i.e. the schedule was undersized).
+
+    ``decide`` picks the exactness contract / stopping rule:
+
+    * ``"legs"`` (default): every leg bit is resolved exactly — a pose
+      scans until each leg either succeeded or exhausted its relevant
+      columns.
+    * ``"quorum"``: only the quorum bit is guaranteed exact.  A pose
+      stops as soon as the quorum is DECIDED: achieved (``found >= k``)
+      or impossible (``found + still-open legs < k``).  With ``k == L``
+      one proven-infeasible leg kills the pose immediately — the
+      octree's per-node early-out (several_leg_octree.cu:117-131) as a
+      scan-scheduling rule; for such poses the other legs' bits are
+      under-reported (never over-reported), so the final
+      ``sum(legs) >= k`` test still returns the exact quorum.
     """
+    if decide not in ("legs", "quorum"):
+        raise ValueError(f"decide must be 'legs' or 'quorum', got {decide!r}")
     if window % _LANES:
         raise ValueError(f"window {window} not a multiple of {_LANES}")
     kernel_fn = make_multileg_kernel(robot, window, interpret)
@@ -199,9 +216,25 @@ def make_csr_solver(
         sentinel = jnp.float32(1e9)
         w32 = jnp.int32(window)
 
+        k_eff = jnp.int32(k if k else L)
+
+        def undecided(legs_, scanned_, rel_):
+            """[A] poses whose result can still change under ``decide``."""
+            rem = jnp.any(rel_ & ~scanned_[:, :, None], axis=1)  # [A, L]
+            if decide == "legs":
+                return jnp.any(~legs_ & rem, axis=-1)
+            found = jnp.sum(legs_, axis=-1)
+            possible = jnp.sum(legs_ | rem, axis=-1)
+            return (found < k_eff) & (possible >= k_eff)
+
         def run_round(tab_, cs_, cl_, rel_, legs_, scanned_, n_windows):
             """Walk up to n_windows chunks of each pose's column queue."""
-            want = jnp.any(rel_ & ~legs_[:, None, :], -1) & ~scanned_
+            active = undecided(legs_, scanned_, rel_)
+            want = (
+                jnp.any(rel_ & ~legs_[:, None, :], -1)
+                & ~scanned_
+                & active[:, None]
+            )
             chunks = jnp.where(
                 want, (cl_ + (w32 - 1)) // w32, 0
             )  # [A, C]
@@ -262,8 +295,7 @@ def make_csr_solver(
                 if r > 0:
                     # the safety round does real work only if the
                     # scheduled rounds starved some undecided pose
-                    rem = jnp.any(rel & ~scanned[:, :, None], axis=1)
-                    over_quota = jnp.any(jnp.any(~legs & rem, axis=-1))
+                    over_quota = jnp.any(undecided(legs, scanned, rel))
                 legs, scanned = run_round(
                     tab, col_start, col_len, rel, legs, scanned, n_windows
                 )
@@ -274,8 +306,7 @@ def make_csr_solver(
                     * POSE_ROWS,
                 )
                 A = min(A, P)
-                rem = jnp.any(rel & ~scanned[:, :, None], axis=1)
-                undone = jnp.any(~legs & rem, axis=-1)
+                undone = undecided(legs, scanned, rel)
                 _, idx = jax.lax.top_k(undone.astype(jnp.int32), A)
                 legs2, scanned2 = run_round(
                     tab[idx], col_start[idx], col_len[idx], rel[idx],

@@ -139,6 +139,169 @@ def _bsel(c, a, b):
     return (c & a) | (~c & b)
 
 
+def leg_constants(robot: LegDimensions) -> list[dict]:
+    """Leg-static scalars baked as Python-float kernel immediates
+    (orientation does not shift these)."""
+    L = int(jax.tree.leaves(robot)[0].shape[0])
+    legs_const = []
+    for i in range(L):
+        leg = jax.tree.map(lambda x: np.asarray(x)[i], robot)
+        ws = build_workspace(
+            jax.tree.map(lambda x: jnp.asarray(x), leg)
+        )
+        ws = type(ws)(*[np.asarray(f) for f in ws])
+        ba = float(leg.body_angle)
+        pitch = float(leg.coxa_pitch)
+        legs_const.append(
+            dict(
+                ca=float(np.float32(np.cos(np.float32(-ba)))),
+                sa=float(np.float32(np.sin(np.float32(-ba)))),
+                body=float(leg.body),
+                cp=float(np.float32(np.cos(np.float32(-pitch)))),
+                sp=float(np.float32(np.sin(np.float32(-pitch)))),
+                coxa_len=float(leg.coxa_length),
+                cmax=(float(ws.coxa_max_dir[0]), float(ws.coxa_max_dir[1])),
+                cmin=(float(ws.coxa_min_dir[0]), float(ws.coxa_min_dir[1])),
+                gt_possible=bool(ws.coxa_gt_possible),
+                lt_possible=bool(ws.coxa_lt_possible),
+            )
+        )
+    return legs_const
+
+
+def tile_leg_bits(tab_ref, x, y, z, legs_const):
+    """Shared kernel body: per-leg any-candidate reachability bits for
+    one pose tile.
+
+    ``tab_ref`` is a ``[rows, W]`` ref of :func:`oriented_tables` rows;
+    ``x/y/z`` are ``[rows, C]`` candidate world-coordinate VALUES (not
+    refs).  Returns a list of ``[rows, 1]`` bool arrays, one per leg —
+    leg l's "any candidate reachable" bit per pose row.
+    """
+
+    def s(i):
+        return tab_ref[:, i : i + 1]  # [rows, 1] broadcastable scalar
+
+    # candidate position relative to the body, in the world frame
+    rx = x - s(4)
+    ry = y - s(5)
+    rz = z - s(6)
+    # un-rotate by the body quaternion (conjugate rotation)
+    w = s(0)
+    ux = -s(1)
+    uy = -s(2)
+    uz = -s(3)
+    tx = 2.0 * (uy * rz - uz * ry)
+    ty = 2.0 * (uz * rx - ux * rz)
+    tz = 2.0 * (ux * ry - uy * rx)
+    vx = rx + w * tx + (uy * tz - uz * ty)
+    vy = ry + w * ty + (uz * tx - ux * tz)
+    vz = rz + w * tz + (ux * ty - uy * tx)
+
+    bits = []
+    for l, c in enumerate(legs_const):
+        off = _HDR + l * LEG_BLOCK
+        # yaw by -body_angle ("as if leg 0")
+        x0 = vx * c["ca"] - vy * c["sa"]
+        y0 = vx * c["sa"] + vy * c["ca"]
+        # coxa frame
+        px = x0 - c["body"]
+        x1 = px * c["cp"] - vz * c["sp"]
+        z1 = px * c["sp"] + vz * c["cp"]
+        y1 = y0
+        flip = jnp.signbit(x1)
+        fx = jnp.where(flip, -x1, x1)
+        fy = jnp.where(flip, -y1, y1)
+        coxa_invalid = None
+        if c["gt_possible"]:
+            coxa_invalid = (fy * c["cmax"][0] - fx * c["cmax"][1]) > 0
+        if c["lt_possible"]:
+            lt = (fy * c["cmin"][0] - fx * c["cmin"][1]) < 0
+            coxa_invalid = (
+                lt if coxa_invalid is None else coxa_invalid | lt
+            )
+        rho = jnp.sqrt(x1 * x1 + y1 * y1)
+        xp = jnp.where(flip, -rho, rho) - c["coxa_len"]
+        yp = z1
+
+        # region bits from per-pose scalars
+        nn = yp >= 0
+        mid_neg = s(off + _MID_NEG) > 0.5
+        crossm = (yp * s(off + _MID_DIR) - xp * s(off + _MID_DIR + 1)) > 0
+        upper = _bsel(nn, mid_neg | crossm, mid_neg & crossm)
+        sat_lo_neg = s(off + _SAT_NEG) > 0.5
+        sat_hi_neg = s(off + _SAT_NEG + 1) > 0.5
+        cross_lo = (
+            yp * s(off + _SAT_DIR) - xp * s(off + _SAT_DIR + 1)
+        ) > 0
+        cross_hi = (
+            yp * s(off + _SAT_DIR + 2) - xp * s(off + _SAT_DIR + 3)
+        ) > 0
+        gt_lo = _bsel(nn, sat_lo_neg | cross_lo, sat_lo_neg & cross_lo)
+        gt_hi = _bsel(nn, sat_hi_neg | cross_hi, sat_hi_neg & cross_hi)
+        ext = upper ^ _bsel(upper, gt_hi, gt_lo)
+
+        # 6 unique circles once each (both validity polarities), then
+        # the four (region, ext) configurations as boolean algebra on
+        # the per-pose fal/falo construction bits — the slot tables'
+        # region logic (workspace.region_slots) re-evaluated per
+        # point-tile instead of storing 16 pre-selected slots
+        q2 = xp * xp + yp * yp
+        pos, neg = [], []
+        for u in range(6):
+            t = (
+                q2
+                + s(off + _AX + u) * xp
+                + s(off + _AY + u) * yp
+            )
+            inside = t <= s(off + _R2K + u)
+            near = (t < s(off + _HI2K + u)) & (
+                t > s(off + _LO2K + u)
+            )
+            pos.append(inside | near)
+            neg.append((~inside) | near)
+        b_fal_low = s(off + _FAL) > 0.5
+        b_fal_up = s(off + _FAL + 1) > 0.5
+        b_falo_low = s(off + _FAL + 2) > 0.5
+        b_falo_up = s(off + _FAL + 3) > 0.5
+        # lower region: [inner, fa_neg(att=!fal), excl(rep), wing]
+        excl0 = _bsel(b_falo_low, neg[_WP], neg[_FAP])
+        other0 = _bsel(b_fal_low, neg[_FAN], pos[_FAN])
+        wing0 = _bsel(b_fal_low, pos[_WN], neg[_WN])
+        base0 = neg[_INNER] & excl0
+        v00 = base0 & other0 & wing0
+        other0e = _bsel(b_fal_low, other0, pos[_OUTER])
+        wing0e = _bsel(b_fal_low, pos[_OUTER], wing0)
+        v01 = base0 & other0e & wing0e
+        # upper region: [inner, excl(rep), fa_pos(att=!fal), wing]
+        excl1 = _bsel(b_falo_up, neg[_WN], neg[_FAN])
+        other1 = _bsel(b_fal_up, neg[_FAP], pos[_FAP])
+        wing1 = _bsel(b_fal_up, pos[_WP], neg[_WP])
+        base1 = neg[_INNER] & excl1
+        v10 = base1 & other1 & wing1
+        other1e = _bsel(b_fal_up, other1, pos[_OUTER])
+        wing1e = _bsel(b_fal_up, pos[_OUTER], wing1)
+        v11 = base1 & other1e & wing1e
+        plane_ok = _bsel(
+            upper,
+            _bsel(ext, v11, v10),
+            _bsel(ext, v01, v00),
+        )
+        reach = (
+            plane_ok
+            if coxa_invalid is None
+            else ~coxa_invalid & plane_ok
+        )
+        # lane reduction in f32 (no i1 reductions / u8 casts on this
+        # Mosaic target)
+        any_l = (
+            jnp.max(reach.astype(jnp.float32), axis=1, keepdims=True)
+            > 0
+        )
+        bits.append(any_l)
+    return bits
+
+
 def make_multileg_kernel(
     robot: LegDimensions, cand_cols: int, interpret: bool = False
 ):
@@ -165,154 +328,17 @@ def make_multileg_kernel(
             "not VMEM-viable at that width — use the CSR windowed solver"
         )
 
-    # leg-static immediates (orientation does not shift these)
-    legs_const = []
-    for i in range(L):
-        leg = jax.tree.map(lambda x: np.asarray(x)[i], robot)
-        ws = build_workspace(
-            jax.tree.map(lambda x: jnp.asarray(x), leg)
-        )
-        ws = type(ws)(*[np.asarray(f) for f in ws])
-        ba = float(leg.body_angle)
-        pitch = float(leg.coxa_pitch)
-        legs_const.append(
-            dict(
-                ca=float(np.float32(np.cos(np.float32(-ba)))),
-                sa=float(np.float32(np.sin(np.float32(-ba)))),
-                body=float(leg.body),
-                cp=float(np.float32(np.cos(np.float32(-pitch)))),
-                sp=float(np.float32(np.sin(np.float32(-pitch)))),
-                coxa_len=float(leg.coxa_length),
-                cmax=(float(ws.coxa_max_dir[0]), float(ws.coxa_max_dir[1])),
-                cmin=(float(ws.coxa_min_dir[0]), float(ws.coxa_min_dir[1])),
-                gt_possible=bool(ws.coxa_gt_possible),
-                lt_possible=bool(ws.coxa_lt_possible),
-            )
-        )
+    legs_const = leg_constants(robot)
 
     def kernel(tab_ref, x_ref, y_ref, z_ref, o_ref):
         # one grid step per pose tile; the whole candidate axis lives in
         # one [POSE_ROWS, cand_cols] block (a [8, 128]-tile grid over the
         # candidate axis costs millions of tiny grid steps and is
         # overhead-bound)
-        def s(i):
-            return tab_ref[:, i : i + 1]  # [8, 1] broadcastable scalar
-
-        # candidate position relative to the body, in the world frame
-        rx = x_ref[...] - s(4)
-        ry = y_ref[...] - s(5)
-        rz = z_ref[...] - s(6)
-        # un-rotate by the body quaternion (conjugate rotation)
-        w = s(0)
-        ux = -s(1)
-        uy = -s(2)
-        uz = -s(3)
-        tx = 2.0 * (uy * rz - uz * ry)
-        ty = 2.0 * (uz * rx - ux * rz)
-        tz = 2.0 * (ux * ry - uy * rx)
-        vx = rx + w * tx + (uy * tz - uz * ty)
-        vy = ry + w * ty + (uz * tx - ux * tz)
-        vz = rz + w * tz + (ux * ty - uy * tx)
-
-        for l, c in enumerate(legs_const):
-            off = _HDR + l * LEG_BLOCK
-            # yaw by -body_angle ("as if leg 0")
-            x0 = vx * c["ca"] - vy * c["sa"]
-            y0 = vx * c["sa"] + vy * c["ca"]
-            # coxa frame
-            px = x0 - c["body"]
-            x1 = px * c["cp"] - vz * c["sp"]
-            z1 = px * c["sp"] + vz * c["cp"]
-            y1 = y0
-            flip = jnp.signbit(x1)
-            fx = jnp.where(flip, -x1, x1)
-            fy = jnp.where(flip, -y1, y1)
-            coxa_invalid = None
-            if c["gt_possible"]:
-                coxa_invalid = (fy * c["cmax"][0] - fx * c["cmax"][1]) > 0
-            if c["lt_possible"]:
-                lt = (fy * c["cmin"][0] - fx * c["cmin"][1]) < 0
-                coxa_invalid = (
-                    lt if coxa_invalid is None else coxa_invalid | lt
-                )
-            rho = jnp.sqrt(x1 * x1 + y1 * y1)
-            xp = jnp.where(flip, -rho, rho) - c["coxa_len"]
-            yp = z1
-
-            # region bits from per-pose scalars
-            nn = yp >= 0
-            mid_neg = s(off + _MID_NEG) > 0.5
-            crossm = (yp * s(off + _MID_DIR) - xp * s(off + _MID_DIR + 1)) > 0
-            upper = _bsel(nn, mid_neg | crossm, mid_neg & crossm)
-            sat_lo_neg = s(off + _SAT_NEG) > 0.5
-            sat_hi_neg = s(off + _SAT_NEG + 1) > 0.5
-            cross_lo = (
-                yp * s(off + _SAT_DIR) - xp * s(off + _SAT_DIR + 1)
-            ) > 0
-            cross_hi = (
-                yp * s(off + _SAT_DIR + 2) - xp * s(off + _SAT_DIR + 3)
-            ) > 0
-            gt_lo = _bsel(nn, sat_lo_neg | cross_lo, sat_lo_neg & cross_lo)
-            gt_hi = _bsel(nn, sat_hi_neg | cross_hi, sat_hi_neg & cross_hi)
-            ext = upper ^ _bsel(upper, gt_hi, gt_lo)
-
-            # 6 unique circles once each (both validity polarities), then
-            # the four (region, ext) configurations as boolean algebra on
-            # the per-pose fal/falo construction bits — the slot tables'
-            # region logic (workspace.region_slots) re-evaluated per
-            # point-tile instead of storing 16 pre-selected slots
-            q2 = xp * xp + yp * yp
-            pos, neg = [], []
-            for u in range(6):
-                t = (
-                    q2
-                    + s(off + _AX + u) * xp
-                    + s(off + _AY + u) * yp
-                )
-                inside = t <= s(off + _R2K + u)
-                near = (t < s(off + _HI2K + u)) & (
-                    t > s(off + _LO2K + u)
-                )
-                pos.append(inside | near)
-                neg.append((~inside) | near)
-            b_fal_low = s(off + _FAL) > 0.5
-            b_fal_up = s(off + _FAL + 1) > 0.5
-            b_falo_low = s(off + _FAL + 2) > 0.5
-            b_falo_up = s(off + _FAL + 3) > 0.5
-            # lower region: [inner, fa_neg(att=!fal), excl(rep), wing]
-            excl0 = _bsel(b_falo_low, neg[_WP], neg[_FAP])
-            other0 = _bsel(b_fal_low, neg[_FAN], pos[_FAN])
-            wing0 = _bsel(b_fal_low, pos[_WN], neg[_WN])
-            base0 = neg[_INNER] & excl0
-            v00 = base0 & other0 & wing0
-            other0e = _bsel(b_fal_low, other0, pos[_OUTER])
-            wing0e = _bsel(b_fal_low, pos[_OUTER], wing0)
-            v01 = base0 & other0e & wing0e
-            # upper region: [inner, excl(rep), fa_pos(att=!fal), wing]
-            excl1 = _bsel(b_falo_up, neg[_WN], neg[_FAN])
-            other1 = _bsel(b_fal_up, neg[_FAP], pos[_FAP])
-            wing1 = _bsel(b_fal_up, pos[_WP], neg[_WP])
-            base1 = neg[_INNER] & excl1
-            v10 = base1 & other1 & wing1
-            other1e = _bsel(b_fal_up, other1, pos[_OUTER])
-            wing1e = _bsel(b_fal_up, pos[_OUTER], wing1)
-            v11 = base1 & other1e & wing1e
-            plane_ok = _bsel(
-                upper,
-                _bsel(ext, v11, v10),
-                _bsel(ext, v01, v00),
-            )
-            reach = (
-                plane_ok
-                if coxa_invalid is None
-                else ~coxa_invalid & plane_ok
-            )
-            # lane reduction in f32 (no i1 reductions / u8 casts on this
-            # Mosaic target), one write per leg
-            any_l = (
-                jnp.max(reach.astype(jnp.float32), axis=1, keepdims=True)
-                > 0
-            )
+        bits = tile_leg_bits(
+            tab_ref, x_ref[...], y_ref[...], z_ref[...], legs_const
+        )
+        for l, any_l in enumerate(bits):
             o_ref[:, l : l + 1] = any_l.astype(jnp.int32)
 
     @jax.jit
@@ -366,6 +392,7 @@ def make_adaptive_grid_solver(
     robot: LegDimensions, cand_cols: int, interpret: bool = False,
     rounds: tuple = ((8, 1.0), (16, 0.5), (32, 0.25), (64, 0.125),
                      (0, 0.0625)),
+    decide: str = "legs",
 ):
     """Early-exit fused grid solver: per-leg-relevant cells nearest-first,
     with pose compaction between rounds.
@@ -394,7 +421,17 @@ def make_adaptive_grid_solver(
     a round's quota, in which case the extras' missing-leg bits may be
     under-reported (re-run those through the exhaustive path or widen
     ``rounds``).
+
+    ``decide="quorum"`` relaxes the per-leg contract to stop a pose as
+    soon as its quorum is decided (achieved, or impossible because
+    ``found + still-open legs < k``): the returned ``quorum`` stays
+    exact, but a decided-infeasible pose's other leg bits may be
+    under-reported.  See ops/csr_grid.make_csr_solver for the full
+    semantics; with ``k == L`` one proven-infeasible leg kills the pose
+    immediately (the octree early-out of several_leg_octree.cu:117-131).
     """
+    if decide not in ("legs", "quorum"):
+        raise ValueError(f"decide must be 'legs' or 'quorum', got {decide!r}")
     kernel_fn = make_multileg_kernel(robot, cand_cols, interpret)
     L = int(jax.tree.leaves(robot)[0].shape[0])
     # per-leg mount parameters for the reach-ball relevance test
@@ -462,10 +499,26 @@ def make_adaptive_grid_solver(
         tab = oriented_tables(body, quats, robot)
         sentinel = jnp.float32(1e9)
 
+        k_eff = jnp.int32(k if k else L)
+
+        def undecided(legs_, scanned_, rel_):
+            """[A] poses whose result can still change under ``decide``."""
+            rem = jnp.any(rel_ & ~scanned_[:, :, None], axis=1)  # [A, L]
+            if decide == "legs":
+                return jnp.any(~legs_ & rem, axis=-1)
+            found = jnp.sum(legs_, axis=-1)
+            possible = jnp.sum(legs_ | rem, axis=-1)
+            return (found < k_eff) & (possible >= k_eff)
+
         def order_cells(rel_, legs_, scanned_, n_steps):
             """[A, n_steps] cell priority order: unscanned cells relevant
             to a missing leg, nearest first; zero-score slots are dead."""
-            want = jnp.any(rel_ & ~legs_[:, None, :], axis=-1) & ~scanned_
+            active = undecided(legs_, scanned_, rel_)
+            want = (
+                jnp.any(rel_ & ~legs_[:, None, :], axis=-1)
+                & ~scanned_
+                & active[:, None]
+            )
             score = jnp.where(want, jnp.int32(2 * K) - near_rank, 0)
             val, order = jax.lax.top_k(score, n_steps)
             return order, val > 0
@@ -519,8 +572,7 @@ def make_adaptive_grid_solver(
             steps = min(n_cells, K)
             if r == 0 or frac >= 1.0:
                 if r > 0:
-                    rem = jnp.any(rel & ~scanned[:, :, None], axis=1)
-                    over_quota = jnp.any(jnp.any(~legs & rem, axis=-1))
+                    over_quota = jnp.any(undecided(legs, scanned, rel))
                 legs, scanned = run_round(
                     tab, flat, rel, legs, scanned, steps
                 )
@@ -531,10 +583,7 @@ def make_adaptive_grid_solver(
                     * POSE_ROWS,
                 )
                 A = min(A, P)
-                # undecided: some missing leg still has relevant
-                # unscanned cells
-                rem = jnp.any(rel & ~scanned[:, :, None], axis=1)  # [P, L]
-                undone = jnp.any(~legs & rem, axis=-1)
+                undone = undecided(legs, scanned, rel)
                 _, idx = jax.lax.top_k(undone.astype(jnp.int32), A)
                 legs2, scanned2 = run_round(
                     tab[idx], flat[idx], rel[idx], legs[idx],

@@ -172,6 +172,63 @@ def test_csr_solver_matches_topk(rng):
     )
 
 
+def test_decide_quorum_exact_quorum_subset_legs(rng):
+    """decide='quorum' must return the EXACT quorum bit while stopping
+    poses early: per-leg bits may be under- but never over-reported.
+    Covers k == L (one proven-infeasible leg kills the pose) and
+    k < L, for both the CSR and adaptive dense solvers."""
+    from legmov_tpu.ops.csr_grid import (
+        ball_columns,
+        build_csr_grid,
+        make_csr_solver,
+    )
+    from legmov_tpu.ops.pallas_multileg import make_adaptive_grid_solver
+
+    robot = get_moonbot_robot()
+    L = 4
+    reach = cell_size_for(robot)
+    cell = reach / 2
+    fh = flat_grid((-1200, 1201), (-1200, 1201), 90.0, z=-130.0)
+    # carve a hole so a good fraction of poses are infeasible
+    fh = fh[~((np.abs(fh[:, 0]) < 420) & (fh[:, 1] > 120))]
+    g = build_grid(fh, cell)
+    offs = neighbor_offsets(cell, reach)
+    csr = build_csr_grid(fh, cell)
+    cols = jnp.asarray(ball_columns(offs))
+    (gx, gy, gz), cap_pad = pad_grid_soa(g)
+    P = 32
+    body, quats = _poses(P, rng)
+    for k in (L, 2):
+        legs_t, quorum_t, _ = grid_reachable_legs_topk(
+            body, quats, g, robot, jnp.asarray(offs), top_k=80, k=k
+        )
+        c_solver = make_csr_solver(
+            robot, window=128, interpret=True,
+            rounds=((4, 1.0), (8, 0.5)), decide="quorum",
+        )
+        legs_c, quorum_c, _ = c_solver(
+            body, quats, csr.xs, csr.ys, csr.zs, csr.starts, csr.origin,
+            cols, cell_size=csr.cell_size, k=k, dims=csr.dims,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(quorum_c), np.asarray(quorum_t)
+        )
+        assert not np.any(np.asarray(legs_c) & ~np.asarray(legs_t))
+        a_solver = make_adaptive_grid_solver(
+            robot, cap_pad, interpret=True,
+            rounds=((4, 1.0), (8, 0.5)), decide="quorum",
+        )
+        legs_a, quorum_a, _ = a_solver(
+            body, quats, gx, gy, gz, g.counts, g.origin, g.cell_size,
+            jnp.asarray(offs), top_k=0, k=k, dims=g.dims,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(quorum_a), np.asarray(quorum_t)
+        )
+        assert not np.any(np.asarray(legs_a) & ~np.asarray(legs_t))
+        assert 0 < int(np.asarray(quorum_t).sum()) < P
+
+
 def test_multileg_distance_kernel_matches_xla(rng):
     """The fused validity_child kernel (pallas_multileg_dist) must match
     the XLA per-item logic of hier_solver._eval_cells on every output

@@ -86,6 +86,10 @@ def main() -> None:
     ap.add_argument("--rounds", default="",
                     help="override the early-exit schedule as "
                     "cells:pose_fraction pairs")
+    ap.add_argument("--decide", choices=("quorum", "legs"), default="quorum",
+                    help="quorum = stop a pose once its quorum is decided "
+                    "(quorum exact, per-leg bits best-effort); legs = "
+                    "resolve every leg bit exactly")
     ap.add_argument("--window", type=int, default=2048,
                     help="CSR candidate window (multiple of 128)")
     ap.add_argument("--iters", type=int, default=4)
@@ -126,7 +130,7 @@ def main() -> None:
         csr = build_csr_grid(terrain, cell)
         t_grid = time.perf_counter() - t0
         cols = jnp.asarray(ball_columns(np.asarray(offs)))
-        kw = dict(window=args.window, interpret=interp)
+        kw = dict(window=args.window, interpret=interp, decide=args.decide)
         if rounds:
             kw["rounds"] = rounds
         csr_solver = make_csr_solver(robot, **kw)
@@ -167,6 +171,7 @@ def main() -> None:
             candidate_points_per_pose=None,
             top_k=0,
             impl="pallas-csr-window",
+            decide=args.decide,
         )
         run_bench(args, n_chunk, terrain, run_chain, final_solve,
                   timed_report, k)
@@ -225,7 +230,7 @@ def main() -> None:
         fused_args = (gxp, gyp, gzp, grid.counts, grid.origin,
                       grid.cell_size, offs)
         if args.solver == "adaptive":
-            kw = dict(interpret=interp)
+            kw = dict(interpret=interp, decide=args.decide)
             if rounds:
                 kw["rounds"] = rounds
             fused_solver = make_adaptive_grid_solver(robot, cap_pad, **kw)
@@ -291,6 +296,7 @@ def main() -> None:
         grid_build_s=round(t_grid, 3),
         candidate_points_per_pose=(top_k or int(offs.shape[0])) * cap,
         top_k=top_k,
+        decide=args.decide,
         impl=(
             "pallas-fused-adaptive" if args.solver == "adaptive"
             and fused_solver is not None else

@@ -122,15 +122,27 @@ def main() -> None:
                 np.asarray(q_a) == q_t
             ).all()
 
-        tag = "OK " if (ok_csr and ok_ad) else "FAIL"
+        # decide="quorum": quorum must stay exact; leg bits may only be
+        # under-reported
+        svq = make_csr_solver(robot, window=window, interpret=True,
+                              rounds=rounds, decide="quorum")
+        legs_q, q_q, _ = svq(
+            body_d, quats, csr.xs, csr.ys, csr.zs, csr.starts, csr.origin,
+            cols, cell_size=csr.cell_size, k=k, dims=csr.dims,
+        )
+        ok_q = (np.asarray(q_q) == q_t).all() and not (
+            np.asarray(legs_q) & ~legs_t
+        ).any()
+
+        tag = "OK " if (ok_csr and ok_ad and ok_q) else "FAIL"
         print(
             f"{tag} seed={seed} legs={L} k={k} subdiv={subdiv} "
             f"F={fh.shape[0]} P={P} win={window} rounds={rounds} "
             f"feas={int(q_t.sum())}/{P} csr={ok_csr} adaptive={ok_ad} "
-            f"csr_overflow={bool(np.asarray(of_c))}",
+            f"quorum_mode={ok_q} csr_overflow={bool(np.asarray(of_c))}",
             flush=True,
         )
-        if not (ok_csr and ok_ad):
+        if not (ok_csr and ok_ad and ok_q):
             bad += 1
     print(f"{args.trials - bad}/{args.trials} trials exact")
     sys.exit(1 if bad else 0)
