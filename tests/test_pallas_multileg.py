@@ -172,6 +172,60 @@ def test_csr_solver_matches_topk(rng):
     )
 
 
+def test_csr_dma_solver_matches_topk(rng):
+    """The in-kernel-DMA CSR solver must match the exhaustive dense path
+    exactly in legs mode (incl. window tails crossing column ends, which
+    it covers by over-fetching real points instead of masking), and keep
+    quorum exact in decide='quorum' mode."""
+    from legmov_tpu.ops.csr_grid import (
+        ball_columns,
+        build_csr_grid,
+        make_csr_dma_solver,
+    )
+
+    robot = get_moonbot_robot()
+    reach = cell_size_for(robot)
+    cell = reach / 2
+    fh = flat_grid((-1200, 1201), (-1200, 1201), 90.0, z=-130.0)
+    fh = fh[~((np.abs(fh[:, 0]) < 420) & (fh[:, 1] > 120))]
+    g = build_grid(fh, cell)
+    offs = neighbor_offsets(cell, reach)
+    csr = build_csr_grid(fh, cell)
+    cols = jnp.asarray(ball_columns(offs))
+    P = 32
+    body, quats = _poses(P, rng)
+    legs_t, quorum_t, _ = grid_reachable_legs_topk(
+        body, quats, g, robot, jnp.asarray(offs), top_k=80, k=4
+    )
+    solver = make_csr_dma_solver(
+        robot, window=128, interpret=True,
+        rounds=((4, 1.0), (8, 0.5)), super_step=8,
+    )
+    legs_a, quorum_a, ovf = solver(
+        body, quats, csr.xs, csr.ys, csr.zs, csr.starts, csr.origin,
+        cols, cell_size=csr.cell_size, k=4, dims=csr.dims,
+    )
+    np.testing.assert_array_equal(np.asarray(legs_a), np.asarray(legs_t))
+    np.testing.assert_array_equal(
+        np.asarray(quorum_a), np.asarray(quorum_t)
+    )
+    q_solver = make_csr_dma_solver(
+        robot, window=128, interpret=True,
+        rounds=((4, 1.0), (8, 0.5)), super_step=8, decide="quorum",
+    )
+    legs_q, quorum_q, _ = q_solver(
+        body, quats, csr.xs, csr.ys, csr.zs, csr.starts, csr.origin,
+        cols, cell_size=csr.cell_size, k=6, dims=csr.dims,
+    )
+    legs_t6, quorum_t6, _ = grid_reachable_legs_topk(
+        body, quats, g, robot, jnp.asarray(offs), top_k=80, k=6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(quorum_q), np.asarray(quorum_t6)
+    )
+    assert not np.any(np.asarray(legs_q) & ~np.asarray(legs_t6))
+
+
 def test_decide_quorum_exact_quorum_subset_legs(rng):
     """decide='quorum' must return the EXACT quorum bit while stopping
     poses early: per-leg bits may be under- but never over-reported.

@@ -68,3 +68,27 @@ def test_multileg_distance_kernel_lowers():
     cs = jnp.zeros((1, 512), jnp.float32)  # shared-candidate variant too
     _lowers(lambda t, x, y, z: fn(t, x, y, z), tab, c, c, c)
     _lowers(lambda t, x, y, z: fn(t, x, y, z), tab, cs, cs, cs)
+
+
+def test_csr_dma_solver_lowers():
+    """The DMA-streaming CSR solver (scalar-prefetch starts + in-kernel
+    HBM->VMEM async copies) must lower to Mosaic: DMA descriptors with
+    dynamic 1-D starts into sublane rows are the risky construct here."""
+    from legmov_tpu.ops.csr_grid import make_csr_dma_solver
+
+    robot = make_robot(HEX_MOUNTS)
+    solver = make_csr_dma_solver(
+        robot, window=256, rounds=((2, 1.0),), super_step=4
+    )
+    P, C, F = 16, 5, 4096
+    body = jnp.zeros((P, 3), jnp.float32)
+    quats = jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float32), (P, 1))
+    xs = jnp.zeros(F, jnp.float32)
+    starts = jnp.zeros(28, jnp.int32)
+    cols = jnp.zeros((C, 4), jnp.int32)
+    _lowers(
+        lambda b, q, x, y, z, s, o, c: solver(
+            b, q, x, y, z, s, o, c, cell_size=100.0, k=4, dims=(3, 3, 3)
+        ),
+        body, quats, xs, xs, xs, starts, jnp.zeros(3, jnp.float32), cols,
+    )

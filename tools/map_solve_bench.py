@@ -77,12 +77,15 @@ def main() -> None:
     ap.add_argument("--fused", action="store_true", default=True,
                     help="use the fused multi-leg Pallas kernel")
     ap.add_argument("--no-fused", dest="fused", action="store_false")
-    ap.add_argument("--solver", choices=("csr", "adaptive", "fused", "xla"),
+    ap.add_argument("--solver",
+                    choices=("csr", "csr-dma", "adaptive", "fused", "xla"),
                     default="csr",
                     help="csr = windowed CSR streaming (no fixed-cap "
-                    "padding, 12 B/point storage); adaptive = early-exit "
-                    "dense-table solver; fused = exhaustive dense-table "
-                    "kernel; xla = no Pallas")
+                    "padding, 12 B/point storage); csr-dma = same with "
+                    "in-kernel DMA candidate streaming (scalar-prefetch "
+                    "starts, HBM->VMEM async copies); adaptive = "
+                    "early-exit dense-table solver; fused = exhaustive "
+                    "dense-table kernel; xla = no Pallas")
     ap.add_argument("--rounds", default="",
                     help="override the early-exit schedule as "
                     "cells:pose_fraction pairs")
@@ -119,10 +122,11 @@ def main() -> None:
         for c, f in (p.split(":") for p in args.rounds.split(","))
     ) if args.rounds else None
 
-    if args.solver == "csr":
+    if args.solver in ("csr", "csr-dma"):
         from legmov_tpu.ops.csr_grid import (
             ball_columns,
             build_csr_grid,
+            make_csr_dma_solver,
             make_csr_solver,
         )
 
@@ -133,7 +137,9 @@ def main() -> None:
         kw = dict(window=args.window, interpret=interp, decide=args.decide)
         if rounds:
             kw["rounds"] = rounds
-        csr_solver = make_csr_solver(robot, **kw)
+        make_fn = (make_csr_dma_solver if args.solver == "csr-dma"
+                   else make_csr_solver)
+        csr_solver = make_fn(robot, **kw)
         csr_args = (csr.xs, csr.ys, csr.zs, csr.starts, csr.origin, cols)
         print(
             f"CSR grid: dims={csr.dims} {csr.xs.nbytes * 3 / 1e6:.0f} MB "
@@ -170,7 +176,8 @@ def main() -> None:
             grid_build_s=round(t_grid, 3),
             candidate_points_per_pose=None,
             top_k=0,
-            impl="pallas-csr-window",
+            impl=("pallas-csr-dma" if args.solver == "csr-dma"
+                  else "pallas-csr-window"),
             decide=args.decide,
         )
         run_bench(args, n_chunk, terrain, run_chain, final_solve,

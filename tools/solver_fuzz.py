@@ -24,7 +24,12 @@ import numpy as np
 from legmov_tpu.models.robot import HEX_MOUNTS, QUAD_MOUNTS, make_robot
 from legmov_tpu.models.leg import get_m2_leg, get_moonbot_leg
 from legmov_tpu.ops import quaternion as quat
-from legmov_tpu.ops.csr_grid import ball_columns, build_csr_grid, make_csr_solver
+from legmov_tpu.ops.csr_grid import (
+    ball_columns,
+    build_csr_grid,
+    make_csr_dma_solver,
+    make_csr_solver,
+)
 from legmov_tpu.ops.grid import (
     build_grid,
     cell_size_for,
@@ -122,6 +127,19 @@ def main() -> None:
                 np.asarray(q_a) == q_t
             ).all()
 
+        # in-kernel DMA streaming variant: full legs exactness
+        svd = make_csr_dma_solver(
+            robot, window=window, interpret=True, rounds=rounds,
+            super_step=int(rng.choice([4, 8, 16])),
+        )
+        legs_d, q_d, _ = svd(
+            body_d, quats, csr.xs, csr.ys, csr.zs, csr.starts, csr.origin,
+            cols, cell_size=csr.cell_size, k=k, dims=csr.dims,
+        )
+        ok_dma = (np.asarray(legs_d) == legs_t).all() and (
+            np.asarray(q_d) == q_t
+        ).all()
+
         # decide="quorum": quorum must stay exact; leg bits may only be
         # under-reported
         svq = make_csr_solver(robot, window=window, interpret=True,
@@ -134,15 +152,16 @@ def main() -> None:
             np.asarray(legs_q) & ~legs_t
         ).any()
 
-        tag = "OK " if (ok_csr and ok_ad and ok_q) else "FAIL"
+        tag = "OK " if (ok_csr and ok_ad and ok_q and ok_dma) else "FAIL"
         print(
             f"{tag} seed={seed} legs={L} k={k} subdiv={subdiv} "
             f"F={fh.shape[0]} P={P} win={window} rounds={rounds} "
             f"feas={int(q_t.sum())}/{P} csr={ok_csr} adaptive={ok_ad} "
-            f"quorum_mode={ok_q} csr_overflow={bool(np.asarray(of_c))}",
+            f"dma={ok_dma} quorum_mode={ok_q} "
+            f"csr_overflow={bool(np.asarray(of_c))}",
             flush=True,
         )
-        if not (ok_csr and ok_ad and ok_q):
+        if not (ok_csr and ok_ad and ok_q and ok_dma):
             bad += 1
     print(f"{args.trials - bad}/{args.trials} trials exact")
     sys.exit(1 if bad else 0)
