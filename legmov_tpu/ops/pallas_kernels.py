@@ -249,7 +249,13 @@ def make_reachability_kernel(leg: LegDimensions, block_rows: int = 256,
     return fn
 
 
-DIST_DEFAULT_OPTS = frozenset(["opt_rsqrt", "opt_corner_linear"])
+# Hardware probe (tools/dist_kernel_probe.py, v5e 2026-08-17, 4.2M pts,
+# 5 chained reps/case): plain 0.3136 ns/pt < rsqrt-only 0.3239 < both
+# 0.3377 < corner-linear-only 0.3484.  Both "optimizations" are net
+# LOSSES on Mosaic (the select-chain the corner tournament replaces
+# folds better than its expanded linear form; sqrt+div pipelines fine),
+# so the default is plain.  The opts remain available for re-probing.
+DIST_DEFAULT_OPTS = frozenset()
 
 
 def make_distance_kernel(leg: LegDimensions, block_rows: int = 128,
@@ -261,10 +267,12 @@ def make_distance_kernel(leg: LegDimensions, block_rows: int = 128,
     evaluation, coxa saturation and the limit-plane alternative) with the
     leg workspace baked in.
 
-    ``ablate`` defaults to the tolerance-preserving optimizations
-    (``opt_rsqrt``: one rsqrt + two muls instead of sqrt + divide per
-    clamp; ``opt_corner_linear``: expanded-linear-form corner tournament)
-    — parity-tested in tests/test_pallas.py.  The remaining members
+    ``ablate`` is a feature set: the tolerance-preserving variants
+    ``opt_rsqrt`` (one rsqrt + two muls instead of sqrt + divide per
+    clamp) and ``opt_corner_linear`` (expanded-linear-form corner
+    tournament) are parity-tested in tests/test_pallas.py but measured
+    slower on hardware (see DIST_DEFAULT_OPTS), so the default is
+    plain.  The remaining members
     {"no_corners", "no_validate", "single_branch"} are for PROFILING ONLY
     (tools/dist_kernel_probe.py): they disable kernel sections to
     attribute device time — results are WRONG with any of them active.
