@@ -130,6 +130,51 @@ def _insert_circles(d, upper, fal, fal_o, fully_extended):
     return circles
 
 
+def _insert_circles_v2(d, upper, fal, fal_o, fully_extended):
+    """Re-derivation of the reference's DEAD ``insert_circles_v2``
+    variant (circles.cu.h:304-335) — all four limit circles inserted
+    unconditionally, attractivity decided per side from the region bits,
+    ``FullyExtended`` APPENDING the outer circle instead of replacing.
+
+    The committed reference code is unreachable from every active kernel
+    AND defective: it assigns the four attractivities AFTER ``tail += 4``,
+    so the writes land 4 slots past the inserted circles (the inserted
+    ones keep their constructor defaults).  This twin applies the
+    assignments to the slots they name.  Even so corrected, the variant's
+    far-side logic does not reproduce the active workspace: on the side
+    away from the query's region it demands the *attractive* winglet/
+    fromabove combination where the active path (``_insert_circles``)
+    tests a single repulsive circle, which wrongly excludes ~9-11% of the
+    reachable plane (measured in tests/test_workspace_v2.py) — the
+    plausible reason the variant was abandoned.  Kept for parity
+    archaeology only; nothing in this package calls it on a product path.
+    """
+    circles = [
+        _inner(d),
+        _fromabove(d, pos=False),  # negAbs
+        _fromabove(d, pos=True),  # posAbs
+        _winglet(d, lower_side=True),  # negWinglet (min femur)
+        _winglet(d, lower_side=False),  # posWinglet (max femur)
+    ]
+    neg_w = fal_o if upper else fal
+    pos_w = fal if upper else fal_o
+    circles[3].attract = bool(neg_w)
+    circles[1].attract = not bool(neg_w)
+    circles[4].attract = bool(pos_w)
+    circles[2].attract = not bool(pos_w)
+    if fully_extended:
+        circles.append(_outer(d))
+    return circles
+
+
+def _eval_plane_v2(x, y, d):
+    """Reachability through the v2 circle stack (validate only; the
+    variant predates the corner/clamp machinery)."""
+    x = x - d["coxa_length"]
+    upper, fal, fal_o, ext = _find_region(x, y, d)
+    return _multi_validate(x, y, _insert_circles_v2(d, upper, fal, fal_o, ext))
+
+
 def _insert_intersects(d):
     mnf, mxf = d["min_angle_femur"], d["max_angle_femur"]
     mnt, mxt = d["min_angle_tibia"], d["max_angle_tibia"]
