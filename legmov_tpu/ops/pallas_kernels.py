@@ -104,11 +104,14 @@ def _coxa_frame(x_ref, y_ref, z_ref, ws):
 
 
 def make_reachability_kernel(leg: LegDimensions, block_rows: int = 256,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             parallel: bool = False):
     """Jitted ``[N, 3] float32 -> [N] bool`` Pallas evaluator for ``leg``.
 
     Semantics of ops/reachability.py ``reachability_xyz`` with the leg's
-    workspace baked in as immediates.
+    workspace baked in as immediates.  ``parallel=True`` marks the grid
+    dimension ``parallel`` for Mosaic (tools/reach_kernel_probe.py
+    measures whether that helps on the target chip).
     """
     ws = _concrete_ws(leg)
     coxa_length = float(ws.coxa_length)
@@ -223,6 +226,10 @@ def make_reachability_kernel(leg: LegDimensions, block_rows: int = 256,
             in_specs=[spec, spec, spec],
             out_specs=spec,
             interpret=interpret,
+            compiler_params=(
+                pltpu.CompilerParams(dimension_semantics=("parallel",))
+                if parallel else None
+            ),
         )(*comps)
         return out.reshape(-1)[:n].astype(bool)
 
@@ -260,7 +267,8 @@ DIST_DEFAULT_OPTS = frozenset()
 
 def make_distance_kernel(leg: LegDimensions, block_rows: int = 128,
                          interpret: bool = False,
-                         ablate: frozenset = DIST_DEFAULT_OPTS):
+                         ablate: frozenset = DIST_DEFAULT_OPTS,
+                         parallel: bool = False):
     """Jitted ``[N, 3] -> ([N] bool, [N, 3])`` Pallas distance evaluator.
 
     Semantics of ops/distance.py ``distance_xyz`` (incl. the pi-flip dual
@@ -561,6 +569,10 @@ def make_distance_kernel(leg: LegDimensions, block_rows: int = 128,
             in_specs=[spec, spec, spec],
             out_specs=(spec, spec, spec, spec),
             interpret=interpret,
+            compiler_params=(
+                pltpu.CompilerParams(dimension_semantics=("parallel",))
+                if parallel else None
+            ),
         )(*comps)
 
     @jax.jit

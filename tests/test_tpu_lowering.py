@@ -29,6 +29,18 @@ def test_reachability_kernel_lowers():
     _lowers(lambda p: kr(p), jnp.zeros((32768, 3), jnp.float32))
 
 
+def test_kernels_lower_with_parallel_semantics():
+    from legmov_tpu.ops.pallas_kernels import (
+        make_distance_kernel,
+        make_reachability_kernel,
+    )
+
+    kr = make_reachability_kernel(get_m2_leg(), parallel=True)
+    _lowers(lambda p: kr(p), jnp.zeros((32768, 3), jnp.float32))
+    kd = make_distance_kernel(get_m2_leg(), parallel=True)
+    _lowers(lambda p: kd(p), jnp.zeros((16384, 3), jnp.float32))
+
+
 @pytest.mark.parametrize(
     "ablate",
     [frozenset(), frozenset(["opt_rsqrt", "opt_corner_linear"])],
