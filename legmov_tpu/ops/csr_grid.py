@@ -357,7 +357,7 @@ def make_csr_dma_solver(
     robot: LegDimensions, window: int = 2048, interpret: bool = False,
     rounds: tuple = ((12, 1.0), (24, 0.5), (48, 0.25), (96, 0.125),
                      (0, 0.0625)),
-    decide: str = "legs", super_step: int = 64,
+    decide: str = "legs", super_step: int = 64, align: bool = True,
 ):
     """CSR positionability solver with IN-KERNEL DMA candidate streaming.
 
@@ -384,6 +384,16 @@ def make_csr_dma_solver(
     (several_leg_octree.cu:45-131); the DMA streaming is the TPU-native
     form of the verdict-mandated "scalar-prefetch / async-copy candidate
     streaming" (VERDICT round 1, next-round item 1).
+
+    ``align`` (default True) rounds every DMA start DOWN to a 128-lane
+    boundary and widens the fetch by one lane group (``window + 128``):
+    CSR column starts are arbitrary integers, and HBM->VMEM copies with
+    unaligned dynamic starts are a hardware slow/fault path that the
+    interpret-mode tests cannot exercise.  The up-to-127 extra leading
+    points are real footholds, so the over-fetch property above keeps
+    results exact; every point of the nominal window stays inside the
+    widened fetch (``aligned >= start - 127`` so
+    ``aligned + window + 128 > start + window``).
     """
     if decide not in ("legs", "quorum"):
         raise ValueError(f"decide must be 'legs' or 'quorum', got {decide!r}")
@@ -393,6 +403,8 @@ def make_csr_dma_solver(
     W = table_width(L)
     legs_const = leg_constants(robot)
     mount_vec, reach_l = _robot_geometry(robot)
+    # fetch width: one extra lane group absorbs the align-down shift
+    w_fetch = window + (_LANES if align else 0)
 
     def kernel(starts_ref, live_ref, tab_ref, legsin_ref,
                xs_ref, ys_ref, zs_ref, o_ref, sx, sy, sz, sems):
@@ -410,14 +422,14 @@ def make_csr_dma_solver(
                 st = starts_ref[t * POSE_ROWS + row, s]
                 for src, dst, ci in comps:
                     pltpu.make_async_copy(
-                        src.at[pl.ds(st, window)], dst.at[row],
+                        src.at[pl.ds(st, w_fetch)], dst.at[row],
                         sems.at[ci, row],
                     ).start()
             for row in range(POSE_ROWS):
                 st = starts_ref[t * POSE_ROWS + row, s]
                 for src, dst, ci in comps:
                     pltpu.make_async_copy(
-                        src.at[pl.ds(st, window)], dst.at[row],
+                        src.at[pl.ds(st, w_fetch)], dst.at[row],
                         sems.at[ci, row],
                     ).wait()
             bits = tile_leg_bits(tab_ref, sx[...], sy[...], sz[...],
@@ -444,9 +456,9 @@ def make_csr_dma_solver(
                 (POSE_ROWS, _LANES), lambda t, s, *_: (t, 0)
             ),
             scratch_shapes=[
-                pltpu.VMEM((POSE_ROWS, window), jnp.float32),
-                pltpu.VMEM((POSE_ROWS, window), jnp.float32),
-                pltpu.VMEM((POSE_ROWS, window), jnp.float32),
+                pltpu.VMEM((POSE_ROWS, w_fetch), jnp.float32),
+                pltpu.VMEM((POSE_ROWS, w_fetch), jnp.float32),
+                pltpu.VMEM((POSE_ROWS, w_fetch), jnp.float32),
                 pltpu.SemaphoreType.DMA((3, POSE_ROWS)),
             ],
         )
@@ -471,9 +483,9 @@ def make_csr_dma_solver(
                 jnp.zeros(P, bool),
                 jnp.zeros((), bool),
             )
-        # sentinel pad: dead chunks DMA from [F, F + window) and window
-        # tails clamp into it; sentinels are never reachable
-        sent = jnp.full((window,), 1e9, jnp.float32)
+        # sentinel pad: dead chunks DMA from [~F, ~F + w_fetch) and
+        # window tails clamp into it; sentinels are never reachable
+        sent = jnp.full((w_fetch,), 1e9, jnp.float32)
         xs = jnp.concatenate([xs, sent])
         ys = jnp.concatenate([ys, sent])
         zs = jnp.concatenate([zs, sent])
@@ -530,6 +542,11 @@ def make_csr_dma_solver(
             starts_mat = jnp.where(
                 live, jnp.clip(raw, 0, dead), dead
             ).astype(jnp.int32)
+            if align:
+                # lane-aligned DMA starts; the widened fetch keeps the
+                # nominal window covered and extra points are real
+                # footholds (harmless by over-fetch)
+                starts_mat = (starts_mat // _LANES) * _LANES
             live_tile = jnp.any(
                 live.reshape(A // POSE_ROWS, POSE_ROWS, S), axis=1
             ).astype(jnp.int32)

@@ -197,18 +197,23 @@ def test_csr_dma_solver_matches_topk(rng):
     legs_t, quorum_t, _ = grid_reachable_legs_topk(
         body, quats, g, robot, jnp.asarray(offs), top_k=80, k=4
     )
-    solver = make_csr_dma_solver(
-        robot, window=128, interpret=True,
-        rounds=((4, 1.0), (8, 0.5)), super_step=8,
-    )
-    legs_a, quorum_a, ovf = solver(
-        body, quats, csr.xs, csr.ys, csr.zs, csr.starts, csr.origin,
-        cols, cell_size=csr.cell_size, k=4, dims=csr.dims,
-    )
-    np.testing.assert_array_equal(np.asarray(legs_a), np.asarray(legs_t))
-    np.testing.assert_array_equal(
-        np.asarray(quorum_a), np.asarray(quorum_t)
-    )
+    # both DMA-start modes: lane-aligned over-fetch (default) and the
+    # raw unaligned starts it replaces
+    for align in (True, False):
+        solver = make_csr_dma_solver(
+            robot, window=128, interpret=True,
+            rounds=((4, 1.0), (8, 0.5)), super_step=8, align=align,
+        )
+        legs_a, quorum_a, ovf = solver(
+            body, quats, csr.xs, csr.ys, csr.zs, csr.starts, csr.origin,
+            cols, cell_size=csr.cell_size, k=4, dims=csr.dims,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(legs_a), np.asarray(legs_t)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(quorum_a), np.asarray(quorum_t)
+        )
     q_solver = make_csr_dma_solver(
         robot, window=128, interpret=True,
         rounds=((4, 1.0), (8, 0.5)), super_step=8, decide="quorum",
