@@ -353,11 +353,18 @@ def make_csr_solver(
     return solve
 
 
+#: 1-D f32 memrefs are tiled (1024) = 8 sublanes x 128 lanes on this
+#: target, so dynamic-start DMA slices must be 1024-aligned in both
+#: start and shape; the candidate arrays are kept as [rows, 128] 2-D
+#: (dim-0 tiling 8 rows = the same 1024-element quantum).
+_ALIGN = 8 * _LANES
+
+
 def make_csr_dma_solver(
     robot: LegDimensions, window: int = 2048, interpret: bool = False,
     rounds: tuple = ((12, 1.0), (24, 0.5), (48, 0.25), (96, 0.125),
                      (0, 0.0625)),
-    decide: str = "legs", super_step: int = 64, align: bool = True,
+    decide: str = "legs", super_step: int = 64,
 ):
     """CSR positionability solver with IN-KERNEL DMA candidate streaming.
 
@@ -365,35 +372,34 @@ def make_csr_dma_solver(
     :func:`make_csr_solver`, but the candidate windows are not gathered
     by XLA: per-(pose, step) CSR start offsets ride to the kernel as
     scalar-prefetch SMEM operands, the foothold component arrays stay in
-    HBM (``memory_space=ANY``), and each grid step DMAs its 8 pose rows'
-    windows HBM->VMEM with ``pltpu.make_async_copy`` before running the
-    shared circle evaluation (:func:`tile_leg_bits`).  A whole round is
-    ONE ``pallas_call`` over a ``(pose_tiles, steps)`` grid (the
-    unbounded rounds loop a fixed queue in ``super_step``-step grids),
-    replacing the while-loop-of-gathers round body.
+    HBM (``memory_space=ANY``, laid out ``[rows, 128]``), and each grid
+    step DMAs its 8 pose rows' windows HBM->VMEM with
+    ``pltpu.make_async_copy`` before running the shared circle
+    evaluation (:func:`tile_leg_bits` in single-pose ``s_fn`` form over
+    each ``[w_rows, 128]`` tile).  A whole round is ONE ``pallas_call``
+    over a ``(pose_tiles, steps)`` grid (the unbounded rounds loop a
+    fixed queue in ``super_step``-step grids), replacing the
+    while-loop-of-gathers round body.
+
+    Alignment: Mosaic requires dynamic-start DMA slices to respect the
+    f32 tiling — (8, 128) for the 2-D layout, i.e. a 1024-element
+    quantum.  Every DMA start is the CSR element start rounded DOWN to
+    1024 (shipped as a row index, always a multiple of 8) and the fetch
+    is widened to ``window + 1024`` elements, so the nominal window is
+    always covered.
 
     Exactness rests on the over-fetch property: every candidate window
     contains only real footholds (or the far-sentinel pad), and any
     genuinely reachable foothold lies inside some relevant column that
     the queue fully covers, so evaluating extra real points — window
-    tails crossing a column end, clamped starts — can never flip a bit
-    the exhaustive path wouldn't set.  Dead chunks point at the
+    tails crossing a column end, align-down widening — can never flip a
+    bit the exhaustive path wouldn't set.  Dead chunks point at the
     sentinel pad appended after the real points.
 
     Reference anchor: replaces the octree's per-node foothold loops
     (several_leg_octree.cu:45-131); the DMA streaming is the TPU-native
     form of the verdict-mandated "scalar-prefetch / async-copy candidate
     streaming" (VERDICT round 1, next-round item 1).
-
-    ``align`` (default True) rounds every DMA start DOWN to a 128-lane
-    boundary and widens the fetch by one lane group (``window + 128``):
-    CSR column starts are arbitrary integers, and HBM->VMEM copies with
-    unaligned dynamic starts are a hardware slow/fault path that the
-    interpret-mode tests cannot exercise.  The up-to-127 extra leading
-    points are real footholds, so the over-fetch property above keeps
-    results exact; every point of the nominal window stays inside the
-    widened fetch (``aligned >= start - 127`` so
-    ``aligned + window + 128 > start + window``).
     """
     if decide not in ("legs", "quorum"):
         raise ValueError(f"decide must be 'legs' or 'quorum', got {decide!r}")
@@ -403,8 +409,9 @@ def make_csr_dma_solver(
     W = table_width(L)
     legs_const = leg_constants(robot)
     mount_vec, reach_l = _robot_geometry(robot)
-    # fetch width: one extra lane group absorbs the align-down shift
-    w_fetch = window + (_LANES if align else 0)
+    # fetch width: one extra align quantum absorbs the align-down shift
+    w_fetch = window + _ALIGN
+    w_rows = w_fetch // _LANES  # scratch sublane rows (multiple of 8)
 
     def kernel(starts_ref, live_ref, tab_ref, legsin_ref,
                xs_ref, ys_ref, zs_ref, o_ref, sx, sy, sz, sems):
@@ -419,27 +426,40 @@ def make_csr_dma_solver(
         def _work():
             comps = ((xs_ref, sx, 0), (ys_ref, sy, 1), (zs_ref, sz, 2))
             for row in range(POSE_ROWS):
-                st = starts_ref[t * POSE_ROWS + row, s]
+                st = starts_ref[t * POSE_ROWS + row, s]  # row index
                 for src, dst, ci in comps:
                     pltpu.make_async_copy(
-                        src.at[pl.ds(st, w_fetch)], dst.at[row],
+                        src.at[pl.ds(st, w_rows), :], dst.at[row],
                         sems.at[ci, row],
                     ).start()
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
             for row in range(POSE_ROWS):
                 st = starts_ref[t * POSE_ROWS + row, s]
                 for src, dst, ci in comps:
                     pltpu.make_async_copy(
-                        src.at[pl.ds(st, w_fetch)], dst.at[row],
+                        src.at[pl.ds(st, w_rows), :], dst.at[row],
                         sems.at[ci, row],
                     ).wait()
-            bits = tile_leg_bits(tab_ref, sx[...], sy[...], sz[...],
-                                 legs_const)
-            for l, b in enumerate(bits):
-                o_ref[:, l : l + 1] = o_ref[:, l : l + 1] | b.astype(
-                    jnp.int32
-                )
 
-    def dma_round(tab_, legs_i32, starts_mat, live_tile, xs, ys, zs):
+                def s_fn(i, _r=row):
+                    return tab_ref[_r, i]
+
+                bits = tile_leg_bits(
+                    None, sx[row], sy[row], sz[row], legs_const,
+                    s_fn=s_fn,
+                )
+                vec = None
+                for l, b in enumerate(bits):
+                    # scalar any-hit, folded into lane l of the row's
+                    # output vector (multiply, not where-on-bools)
+                    hit = (jnp.max(b.astype(jnp.float32)) > 0).astype(
+                        jnp.int32
+                    )
+                    contrib = (lane == l).astype(jnp.int32) * hit
+                    vec = contrib if vec is None else vec | contrib
+                o_ref[row : row + 1, :] = o_ref[row : row + 1, :] | vec
+
+    def dma_round(tab_, legs_i32, starts_mat, live_tile, xs2, ys2, zs2):
         """One ``(tiles, steps)`` grid over a fixed queue chunk."""
         A, S = starts_mat.shape
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -456,9 +476,9 @@ def make_csr_dma_solver(
                 (POSE_ROWS, _LANES), lambda t, s, *_: (t, 0)
             ),
             scratch_shapes=[
-                pltpu.VMEM((POSE_ROWS, w_fetch), jnp.float32),
-                pltpu.VMEM((POSE_ROWS, w_fetch), jnp.float32),
-                pltpu.VMEM((POSE_ROWS, w_fetch), jnp.float32),
+                pltpu.VMEM((POSE_ROWS, w_rows, _LANES), jnp.float32),
+                pltpu.VMEM((POSE_ROWS, w_rows, _LANES), jnp.float32),
+                pltpu.VMEM((POSE_ROWS, w_rows, _LANES), jnp.float32),
                 pltpu.SemaphoreType.DMA((3, POSE_ROWS)),
             ],
         )
@@ -467,7 +487,7 @@ def make_csr_dma_solver(
             out_shape=jax.ShapeDtypeStruct((A, _LANES), jnp.int32),
             grid_spec=grid_spec,
             interpret=interpret,
-        )(starts_mat, live_tile, tab_, legs_i32, xs, ys, zs)
+        )(starts_mat, live_tile, tab_, legs_i32, xs2, ys2, zs2)
 
     @partial(jax.jit, static_argnames=("k", "dims", "cell_size"))
     def solve(
@@ -483,13 +503,20 @@ def make_csr_dma_solver(
                 jnp.zeros(P, bool),
                 jnp.zeros((), bool),
             )
-        # sentinel pad: dead chunks DMA from [~F, ~F + w_fetch) and
-        # window tails clamp into it; sentinels are never reachable
-        sent = jnp.full((w_fetch,), 1e9, jnp.float32)
-        xs = jnp.concatenate([xs, sent])
-        ys = jnp.concatenate([ys, sent])
-        zs = jnp.concatenate([zs, sent])
-        dead = jnp.int32(F)  # start of the sentinel region
+        # sentinel pad: dead chunks DMA from [dead, dead + w_fetch) and
+        # window tails clamp into it; sentinels are never reachable.
+        # dead is F rounded UP to the align quantum so dead-chunk
+        # fetches see only sentinels; total length dead + w_fetch keeps
+        # every (aligned-down start) + w_fetch fetch in bounds.
+        dead_elem = ((F + _ALIGN - 1) // _ALIGN) * _ALIGN
+        pad_n = dead_elem + w_fetch - F
+
+        def pad2d(comp):
+            sent = jnp.full((pad_n,), 1e9, jnp.float32)
+            return jnp.concatenate([comp, sent]).reshape(-1, _LANES)
+
+        xs2, ys2, zs2 = pad2d(xs), pad2d(ys), pad2d(zs)
+        dead = jnp.int32(dead_elem)  # start of the sentinel region
 
         cs = jnp.float32(cell_size)
         col_start, col_len, rel = _pose_columns(
@@ -542,11 +569,11 @@ def make_csr_dma_solver(
             starts_mat = jnp.where(
                 live, jnp.clip(raw, 0, dead), dead
             ).astype(jnp.int32)
-            if align:
-                # lane-aligned DMA starts; the widened fetch keeps the
-                # nominal window covered and extra points are real
-                # footholds (harmless by over-fetch)
-                starts_mat = (starts_mat // _LANES) * _LANES
+            # tile-aligned DMA starts, shipped as ROW indices into the
+            # [rows, 128] layout (multiples of 8 by construction); the
+            # widened fetch keeps the nominal window covered and extra
+            # points are real footholds (harmless by over-fetch)
+            starts_mat = (starts_mat // _ALIGN) * (_ALIGN // _LANES)
             live_tile = jnp.any(
                 live.reshape(A // POSE_ROWS, POSE_ROWS, S), axis=1
             ).astype(jnp.int32)
@@ -565,7 +592,7 @@ def make_csr_dma_solver(
                     cs_, cum, jnp.int32(0), n_windows
                 )
                 legs_i = dma_round(
-                    tab_, legs_i, starts_mat, live_tile, xs, ys, zs
+                    tab_, legs_i, starts_mat, live_tile, xs2, ys2, zs2
                 )
                 q_done = jnp.int32(n_windows)
             else:
@@ -580,7 +607,7 @@ def make_csr_dma_solver(
                         cs_, cum, q0, super_step
                     )
                     li = dma_round(tab_, li, starts_mat, live_tile,
-                                   xs, ys, zs)
+                                   xs2, ys2, zs2)
                     return q0 + jnp.int32(super_step), li
 
                 q_done, legs_i = jax.lax.while_loop(

@@ -169,7 +169,7 @@ def leg_constants(robot: LegDimensions) -> list[dict]:
     return legs_const
 
 
-def tile_leg_bits(tab_ref, x, y, z, legs_const):
+def tile_leg_bits(tab_ref, x, y, z, legs_const, s_fn=None):
     """Shared kernel body: per-leg any-candidate reachability bits for
     one pose tile.
 
@@ -177,9 +177,17 @@ def tile_leg_bits(tab_ref, x, y, z, legs_const):
     ``x/y/z`` are ``[rows, C]`` candidate world-coordinate VALUES (not
     refs).  Returns a list of ``[rows, 1]`` bool arrays, one per leg —
     leg l's "any candidate reachable" bit per pose row.
+
+    ``s_fn`` overrides the per-pose scalar getter: a single-pose caller
+    (e.g. the DMA streaming solver, whose candidate tile is
+    ``[sub, 128]`` for ONE pose) passes ``s_fn=lambda i: tab_ref[r, i]``
+    (rank-0 scalars broadcast against the tile); the reduction then
+    yields per-sublane bits the caller folds further.
     """
 
     def s(i):
+        if s_fn is not None:
+            return s_fn(i)
         return tab_ref[:, i : i + 1]  # [rows, 1] broadcastable scalar
 
     # candidate position relative to the body, in the world frame

@@ -197,12 +197,13 @@ def test_csr_dma_solver_matches_topk(rng):
     legs_t, quorum_t, _ = grid_reachable_legs_topk(
         body, quats, g, robot, jnp.asarray(offs), top_k=80, k=4
     )
-    # both DMA-start modes: lane-aligned over-fetch (default) and the
-    # raw unaligned starts it replaces
-    for align in (True, False):
+    # two window widths exercise both the tile-aligned over-fetch
+    # (starts round down to 1024 elements) and window tails crossing
+    # column ends
+    for window in (128, 256):
         solver = make_csr_dma_solver(
-            robot, window=128, interpret=True,
-            rounds=((4, 1.0), (8, 0.5)), super_step=8, align=align,
+            robot, window=window, interpret=True,
+            rounds=((4, 1.0), (8, 0.5)), super_step=8,
         )
         legs_a, quorum_a, ovf = solver(
             body, quats, csr.xs, csr.ys, csr.zs, csr.starts, csr.origin,

@@ -15,6 +15,14 @@ single-process reference computed independently from the same seed.
 
 Parent mode (no args): spawns the two workers, waits, prints
 ``MULTIHOST OK`` on success.  Worker mode: ``--proc I --port P``.
+
+``--scale`` runs BASELINE config 5 at its stated scale — 100k candidate
+body poses x a 6-leg hexapod, per-pose feasibility reduced with a psum
+that crosses the process boundary — and timestamps the solve.  Exactness
+is asserted on a random pose subsample against the single-process oracle
+(the full oracle at this scale would dominate the run).  Real multi-host
+THROUGHPUT cannot be measured here (both processes share one CPU); this
+validates the communication structure and the 100k-pose batch shapes.
 """
 
 from __future__ import annotations
@@ -24,6 +32,7 @@ import os
 import socket
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -34,18 +43,18 @@ POSES = 64
 FOOTHOLDS = 256
 
 
-def _pose_data(seed: int = 11):
+def _pose_data(n_poses: int, n_footholds: int, seed: int = 11):
     import numpy as np
 
     rng = np.random.default_rng(seed)
-    body = rng.uniform(-300, 300, (POSES, 3)).astype(np.float32)
-    body[:, 2] = rng.uniform(100, 250, POSES)
-    fh = rng.uniform(-600, 600, (FOOTHOLDS, 3)).astype(np.float32)
-    fh[:, 2] = rng.uniform(-50, 50, FOOTHOLDS)
+    body = rng.uniform(-300, 300, (n_poses, 3)).astype(np.float32)
+    body[:, 2] = rng.uniform(100, 250, n_poses)
+    fh = rng.uniform(-600, 600, (n_footholds, 3)).astype(np.float32)
+    fh[:, 2] = rng.uniform(-50, 50, n_footholds)
     return body, fh
 
 
-def worker(proc: int, port: int) -> None:
+def worker(proc: int, port: int, args) -> None:
     from legmov_tpu.parallel.multihost import (
         gather_to_host,
         global_pose_batch,
@@ -64,19 +73,23 @@ def worker(proc: int, port: int) -> None:
     assert jax.process_count() == NPROCS, jax.process_count()
     assert len(jax.devices()) == NPROCS * DEVS_PER_PROC
 
-    from legmov_tpu.models.robot import get_m2_robot
+    from legmov_tpu.models.robot import HEX_MOUNTS, get_m2_robot, make_robot
     from legmov_tpu.ops.positionability import positionable
     from legmov_tpu.parallel.sharding import make_mesh, sharded_positionable
 
+    n_poses = args.poses
+    n_fh = args.footholds
+    k = args.k
+    robot = make_robot(HEX_MOUNTS) if args.hex else get_m2_robot()
+
     mesh = make_mesh(points_axis=DEVS_PER_PROC)  # poses axis = processes
-    body, fh = _pose_data()
-    robot = get_m2_robot()
+    body, fh = _pose_data(n_poses, n_fh)
 
     # per-process local pose shard -> global sharded batch (no host gather)
-    shard = POSES // NPROCS
+    shard = n_poses // NPROCS
     local = body[proc * shard : (proc + 1) * shard]
     gbody = global_pose_batch(local, mesh)
-    assert gbody.shape == (POSES, 3)
+    assert gbody.shape == (n_poses, 3)
 
     def replicated(x):
         x = np.asarray(x)
@@ -90,10 +103,34 @@ def worker(proc: int, port: int) -> None:
     gfh = replicated(fh)
     grobot = jax.tree.map(replicated, robot)
 
-    out = sharded_positionable(mesh, k=3)(gbody, gq, gfh, grobot)
+    solver = sharded_positionable(mesh, k=k)
+    t0 = time.perf_counter()
+    out = solver(gbody, gq, gfh, grobot)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
 
-    # single-process oracle on the local default device
-    want = np.asarray(positionable(body, None, fh, robot, k=3))
+    if args.check_poses and args.check_poses < n_poses:
+        # subsample oracle (full single-process oracle would dominate)
+        rng = np.random.default_rng(7)
+        sel = np.sort(rng.choice(n_poses, args.check_poses, replace=False))
+        want = np.asarray(
+            positionable(body[sel], None, fh, robot, k=k)
+        )
+        got_global = np.asarray(jax.device_get(
+            jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))(out)
+        ))[sel]
+        np.testing.assert_array_equal(got_global, want)
+        print(
+            f"proc {proc}: {args.check_poses}-pose subsample matches "
+            f"single-process oracle; {n_poses} poses x {n_fh} footholds "
+            f"x {len(np.asarray(robot.body_angle))} legs solved in "
+            f"{dt:.2f}s (incl. compile)",
+            flush=True,
+        )
+        return
+
+    # small mode: exact check of every local shard
+    want = np.asarray(positionable(body, None, fh, robot, k=k))
     for s in out.addressable_shards:
         lo = s.index[0].start or 0
         got = gather_to_host(s.data)
@@ -106,10 +143,25 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--proc", type=int, default=None)
     ap.add_argument("--port", type=int, default=None)
+    ap.add_argument("--scale", action="store_true",
+                    help="BASELINE config-5 scale: 100k poses x hexapod")
+    ap.add_argument("--poses", type=int, default=POSES)
+    ap.add_argument("--footholds", type=int, default=FOOTHOLDS)
+    ap.add_argument("--hex", action="store_true",
+                    help="6-leg hexapod instead of the M2 quad")
+    ap.add_argument("--k", type=int, default=3)
+    ap.add_argument("--check-poses", type=int, default=0,
+                    help="verify only a random pose subsample (0 = all)")
     args = ap.parse_args()
+    if args.scale:
+        args.poses = max(args.poses, 100_000)
+        args.footholds = max(args.footholds, 4096)
+        args.hex = True
+        args.k = 6
+        args.check_poses = args.check_poses or 2048
 
     if args.proc is not None:
-        worker(args.proc, args.port)
+        worker(args.proc, args.port, args)
         return
 
     with socket.socket() as s:
@@ -124,10 +176,14 @@ def main() -> None:
             f"--xla_force_host_platform_device_count={DEVS_PER_PROC}"
         ),
     )
+    fwd = ["--poses", str(args.poses), "--footholds", str(args.footholds),
+           "--k", str(args.k), "--check-poses", str(args.check_poses)]
+    if args.hex:
+        fwd.append("--hex")
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__),
-             "--proc", str(i), "--port", str(port)],
+             "--proc", str(i), "--port", str(port)] + fwd,
             env=env, cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
@@ -135,7 +191,7 @@ def main() -> None:
     ]
     ok = True
     for i, p in enumerate(procs):
-        out, _ = p.communicate(timeout=600)
+        out, _ = p.communicate(timeout=1800)
         if p.returncode != 0:
             ok = False
             print(f"--- proc {i} rc={p.returncode} ---\n{out}")
