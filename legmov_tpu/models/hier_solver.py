@@ -395,22 +395,36 @@ def solve_positionability(
     fast_eval = None
     fast_rot_eval = None
     if use_pallas != "off":
-        try:
-            import jax as _jax
+        import jax as _jax
 
-            interp = _jax.default_backend() != "tpu"
-            if use_pallas == "auto" and interp:
-                raise RuntimeError("no TPU; interpret only on request")
-            fast_eval = make_fast_cell_eval(robot, interpret=interp)
-            from legmov_tpu.ops.pallas_multileg_dist import (
-                make_cell_eval_rot,
-            )
+        interp = _jax.default_backend() != "tpu"
+        if use_pallas == "on" or not interp:
+            try:
+                fast_eval = make_fast_cell_eval(robot, interpret=interp)
+                from legmov_tpu.ops.pallas_multileg_dist import (
+                    make_cell_eval_rot,
+                )
 
-            fast_rot_eval = make_cell_eval_rot(
-                robot, k=k, interpret=interp
-            )
-        except Exception:
-            fast_eval = fast_rot_eval = None
+                fast_rot_eval = make_cell_eval_rot(
+                    robot, k=k, interpret=interp
+                )
+            except Exception as exc:
+                if use_pallas == "on":
+                    # an explicit request must fail loudly, not silently
+                    # compare the XLA path against itself downstream
+                    raise
+                import warnings
+
+                warnings.warn(
+                    f"hier_solver: pallas fast path unavailable "
+                    f"({exc!r}); falling back to the XLA cell evaluator",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                fast_eval = fast_rot_eval = None
+        # use_pallas == "auto" without a TPU: interpret-mode pallas is
+        # slower than XLA, stay on the XLA evaluators (by design, no
+        # warning)
 
     # pad footholds to a chunk multiple with far-away sentinels that the
     # elongated-box prefilter rejects
@@ -462,7 +476,12 @@ def solve_positionability(
             m = np.all((fh >= lo) & (fh <= hi), axis=1)
             sub = fh[m]
             if sub.shape[0] < fh.shape[0] // 2:
+                # bucket to a power of two (bounded compile count), then
+                # round UP to a chunk multiple: the evaluators truncate
+                # the foothold axis to n_chunks * chunk, so a
+                # non-chunk-multiple pad would silently drop real points
                 fsz = max(chunk, 1 << (max(sub.shape[0] - 1, 1)).bit_length())
+                fsz = -(-fsz // chunk) * chunk
                 sub = np.concatenate(
                     [sub, np.full((fsz - sub.shape[0], 3), 1e9, _f32)]
                 )

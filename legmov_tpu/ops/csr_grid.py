@@ -371,12 +371,13 @@ def make_csr_dma_solver(
     Same contract, schedule semantics, and ``decide`` modes as
     :func:`make_csr_solver`, but the candidate windows are not gathered
     by XLA: per-(pose, step) CSR start offsets ride to the kernel as
-    scalar-prefetch SMEM operands, the foothold component arrays stay in
-    HBM (``memory_space=ANY``, laid out ``[rows, 128]``), and each grid
-    step DMAs its 8 pose rows' windows HBM->VMEM with
-    ``pltpu.make_async_copy`` before running the shared circle
-    evaluation (:func:`tile_leg_bits` in single-pose ``s_fn`` form over
-    each ``[w_rows, 128]`` tile).  A whole round is ONE ``pallas_call``
+    per-tile SMEM blocks ([POSE_ROWS, S] of the [A, S] starts matrix —
+    whole-matrix scalar prefetch blows the 1 MB SMEM budget), the
+    foothold component arrays stay in HBM (``memory_space=ANY``, laid
+    out ``[rows, 128]``), and each grid step DMAs its 8 pose rows'
+    windows HBM->VMEM with ``pltpu.make_async_copy`` before running the
+    shared circle evaluation (:func:`tile_leg_bits` in single-pose
+    ``s_fn`` form over each ``[w_rows, 128]`` tile).  A whole round is ONE ``pallas_call``
     over a ``(pose_tiles, steps)`` grid (the unbounded rounds loop a
     fixed queue in ``super_step``-step grids), replacing the
     while-loop-of-gathers round body.
@@ -385,8 +386,9 @@ def make_csr_dma_solver(
     f32 tiling — (8, 128) for the 2-D layout, i.e. a 1024-element
     quantum.  Every DMA start is the CSR element start rounded DOWN to
     1024 (shipped as a row index, always a multiple of 8) and the fetch
-    is widened to ``window + 1024`` elements, so the nominal window is
-    always covered.
+    is widened to ``ceil(window / 1024) * 1024 + 1024`` elements (shape
+    a multiple of the quantum too), so the nominal window is always
+    covered for any window that is a multiple of 128.
 
     Exactness rests on the over-fetch property: every candidate window
     contains only real footholds (or the far-sentinel pad), and any
@@ -409,71 +411,98 @@ def make_csr_dma_solver(
     W = table_width(L)
     legs_const = leg_constants(robot)
     mount_vec, reach_l = _robot_geometry(robot)
-    # fetch width: one extra align quantum absorbs the align-down shift
-    w_fetch = window + _ALIGN
+    # fetch width: the window rounded UP to the align quantum (the DMA
+    # slice SHAPE must respect the (8, 128) tiling too, so w_rows must
+    # be a multiple of 8) plus one extra quantum absorbing the
+    # align-down start shift
+    w_fetch = (-(-window // _ALIGN) + 1) * _ALIGN
     w_rows = w_fetch // _LANES  # scratch sublane rows (multiple of 8)
 
-    def kernel(starts_ref, live_ref, tab_ref, legsin_ref,
-               xs_ref, ys_ref, zs_ref, o_ref, sx, sy, sz, sems):
-        t = pl.program_id(0)
-        s = pl.program_id(1)
+    def make_kernel(dead_row: int):
+        def kernel(starts_ref, tab_ref, legsin_ref,
+                   xs_ref, ys_ref, zs_ref, o_ref, sx, sy, sz, sems):
+            # starts_ref is an SMEM-BLOCKED input ([POSE_ROWS, S] per
+            # pose tile), NOT a scalar-prefetch operand: the whole
+            # [A, S] starts matrix in SMEM blows the 1 MB SMEM budget
+            # at production pose-chunk sizes (observed: s32[2048, 128]
+            # = 1 MB), while a tile only ever reads its own rows.
+            # Dead (pose, step) chunks are encoded as start == dead_row
+            # (the sentinel region) and skipped per row — no separate
+            # liveness operand.
+            s = pl.program_id(1)
 
-        @pl.when(s == 0)
-        def _init():
-            o_ref[...] = legsin_ref[...]
+            @pl.when(s == 0)
+            def _init():
+                o_ref[...] = legsin_ref[...]
 
-        @pl.when(live_ref[t, s] != 0)
-        def _work():
             comps = ((xs_ref, sx, 0), (ys_ref, sy, 1), (zs_ref, sz, 2))
             for row in range(POSE_ROWS):
-                st = starts_ref[t * POSE_ROWS + row, s]  # row index
-                for src, dst, ci in comps:
-                    pltpu.make_async_copy(
-                        src.at[pl.ds(st, w_rows), :], dst.at[row],
-                        sems.at[ci, row],
-                    ).start()
+                st = starts_ref[row, s]  # row index
+
+                @pl.when(st != dead_row)
+                def _start(st=st, row=row):
+                    for src, dst, ci in comps:
+                        pltpu.make_async_copy(
+                            src.at[pl.ds(st, w_rows), :], dst.at[row],
+                            sems.at[ci, row],
+                        ).start()
+
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
             for row in range(POSE_ROWS):
-                st = starts_ref[t * POSE_ROWS + row, s]
-                for src, dst, ci in comps:
-                    pltpu.make_async_copy(
-                        src.at[pl.ds(st, w_rows), :], dst.at[row],
-                        sems.at[ci, row],
-                    ).wait()
+                st = starts_ref[row, s]
 
-                def s_fn(i, _r=row):
-                    return tab_ref[_r, i]
+                @pl.when(st != dead_row)
+                def _finish(st=st, row=row):
+                    for src, dst, ci in comps:
+                        pltpu.make_async_copy(
+                            src.at[pl.ds(st, w_rows), :], dst.at[row],
+                            sems.at[ci, row],
+                        ).wait()
 
-                bits = tile_leg_bits(
-                    None, sx[row], sy[row], sz[row], legs_const,
-                    s_fn=s_fn,
-                )
-                vec = None
-                for l, b in enumerate(bits):
-                    # scalar any-hit, folded into lane l of the row's
-                    # output vector (multiply, not where-on-bools)
-                    hit = (jnp.max(b.astype(jnp.float32)) > 0).astype(
-                        jnp.int32
+                    def s_fn(i, _r=row):
+                        return tab_ref[_r, i]
+
+                    bits = tile_leg_bits(
+                        None, sx[row], sy[row], sz[row], legs_const,
+                        s_fn=s_fn,
                     )
-                    contrib = (lane == l).astype(jnp.int32) * hit
-                    vec = contrib if vec is None else vec | contrib
-                o_ref[row : row + 1, :] = o_ref[row : row + 1, :] | vec
+                    vec = None
+                    for l, b in enumerate(bits):
+                        # scalar any-hit, folded into lane l of the
+                        # row's output vector (multiply, not
+                        # where-on-bools)
+                        hit = (jnp.max(b.astype(jnp.float32)) > 0).astype(
+                            jnp.int32
+                        )
+                        contrib = (lane == l).astype(jnp.int32) * hit
+                        vec = contrib if vec is None else vec | contrib
+                    o_ref[row : row + 1, :] = (
+                        o_ref[row : row + 1, :] | vec
+                    )
 
-    def dma_round(tab_, legs_i32, starts_mat, live_tile, xs2, ys2, zs2):
+        return kernel
+
+    def dma_round(tab_, legs_i32, starts_mat, dead_row, xs2, ys2, zs2):
         """One ``(tiles, steps)`` grid over a fixed queue chunk."""
         A, S = starts_mat.shape
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=0,
             grid=(A // POSE_ROWS, S),
             in_specs=[
-                pl.BlockSpec((POSE_ROWS, W), lambda t, s, *_: (t, 0)),
-                pl.BlockSpec((POSE_ROWS, _LANES), lambda t, s, *_: (t, 0)),
+                # per-tile SMEM block, full step axis (8*S ints; the
+                # whole [A, S] matrix as a prefetch operand exceeds the
+                # 1 MB SMEM budget, and Mosaic requires the last block
+                # dim to equal the array dim in SMEM)
+                pl.BlockSpec((POSE_ROWS, S), lambda t, s: (t, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((POSE_ROWS, W), lambda t, s: (t, 0)),
+                pl.BlockSpec((POSE_ROWS, _LANES), lambda t, s: (t, 0)),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(
-                (POSE_ROWS, _LANES), lambda t, s, *_: (t, 0)
+                (POSE_ROWS, _LANES), lambda t, s: (t, 0)
             ),
             scratch_shapes=[
                 pltpu.VMEM((POSE_ROWS, w_rows, _LANES), jnp.float32),
@@ -483,11 +512,11 @@ def make_csr_dma_solver(
             ],
         )
         return pl.pallas_call(
-            kernel,
+            make_kernel(dead_row),
             out_shape=jax.ShapeDtypeStruct((A, _LANES), jnp.int32),
             grid_spec=grid_spec,
             interpret=interpret,
-        )(starts_mat, live_tile, tab_, legs_i32, xs2, ys2, zs2)
+        )(starts_mat, tab_, legs_i32, xs2, ys2, zs2)
 
     @partial(jax.jit, static_argnames=("k", "dims", "cell_size"))
     def solve(
@@ -503,6 +532,21 @@ def make_csr_dma_solver(
                 jnp.zeros(P, bool),
                 jnp.zeros((), bool),
             )
+        # the (tiles, steps) grid and live-tile reshapes cover whole
+        # POSE_ROWS tiles: pad the pose axis with far-away identity
+        # poses (relevant to no column -> zero queue work) and slice the
+        # pad off the returned arrays
+        pose_pad = (-P) % POSE_ROWS
+        if pose_pad:
+            body = jnp.concatenate(
+                [body, jnp.full((pose_pad, 3), 1e9, body.dtype)]
+            )
+            quats = jnp.concatenate(
+                [quats,
+                 jnp.tile(jnp.asarray([1.0, 0, 0, 0], quats.dtype),
+                          (pose_pad, 1))]
+            )
+        P_in, P = P, P + pose_pad
         # sentinel pad: dead chunks DMA from [dead, dead + w_fetch) and
         # window tails clamp into it; sentinels are never reachable.
         # dead is F rounded UP to the align quantum so dead-chunk
@@ -517,6 +561,8 @@ def make_csr_dma_solver(
 
         xs2, ys2, zs2 = pad2d(xs), pad2d(ys), pad2d(zs)
         dead = jnp.int32(dead_elem)  # start of the sentinel region
+        dead_row = dead_elem // _LANES  # baked into the kernel as the
+        # dead-chunk sentinel start (skip marker)
 
         cs = jnp.float32(cell_size)
         col_start, col_len, rel = _pose_columns(
@@ -548,8 +594,8 @@ def make_csr_dma_solver(
             return want, cum
 
         def starts_for(cs_, cum, q0, S):
-            """[A, S] clamped CSR starts + [A/8, S] tile liveness for
-            chunks q0 .. q0+S of each pose's queue."""
+            """[A, S] clamped CSR start ROW indices for chunks
+            q0 .. q0+S of each pose's queue (dead chunks = dead_row)."""
             A = cs_.shape[0]
             q = q0 + jnp.arange(S, dtype=jnp.int32)[None, :]  # [1|A, S]
             q = jnp.broadcast_to(q, (A, S))
@@ -572,12 +618,11 @@ def make_csr_dma_solver(
             # tile-aligned DMA starts, shipped as ROW indices into the
             # [rows, 128] layout (multiples of 8 by construction); the
             # widened fetch keeps the nominal window covered and extra
-            # points are real footholds (harmless by over-fetch)
+            # points are real footholds (harmless by over-fetch).  Live
+            # starts can never alias dead_row: raw < F <= dead_elem, so
+            # the align-down lands strictly below the sentinel region.
             starts_mat = (starts_mat // _ALIGN) * (_ALIGN // _LANES)
-            live_tile = jnp.any(
-                live.reshape(A // POSE_ROWS, POSE_ROWS, S), axis=1
-            ).astype(jnp.int32)
-            return starts_mat, live_tile
+            return starts_mat
 
         def legs_to_i32(legs_):
             A = legs_.shape[0]
@@ -588,11 +633,9 @@ def make_csr_dma_solver(
             want, cum = make_queue(cl_, rel_, legs_, scanned_)
             legs_i = legs_to_i32(legs_)
             if n_windows:
-                starts_mat, live_tile = starts_for(
-                    cs_, cum, jnp.int32(0), n_windows
-                )
+                starts_mat = starts_for(cs_, cum, jnp.int32(0), n_windows)
                 legs_i = dma_round(
-                    tab_, legs_i, starts_mat, live_tile, xs2, ys2, zs2
+                    tab_, legs_i, starts_mat, dead_row, xs2, ys2, zs2
                 )
                 q_done = jnp.int32(n_windows)
             else:
@@ -603,10 +646,8 @@ def make_csr_dma_solver(
 
                 def step(c):
                     q0, li = c
-                    starts_mat, live_tile = starts_for(
-                        cs_, cum, q0, super_step
-                    )
-                    li = dma_round(tab_, li, starts_mat, live_tile,
+                    starts_mat = starts_for(cs_, cum, q0, super_step)
+                    li = dma_round(tab_, li, starts_mat, dead_row,
                                    xs2, ys2, zs2)
                     return q0 + jnp.int32(super_step), li
 
@@ -645,6 +686,6 @@ def make_csr_dma_solver(
                 legs = legs.at[idx].set(legs2)
                 scanned = scanned.at[idx].set(scanned2)
         quorum = jnp.sum(legs, axis=-1) >= k_eff
-        return legs, quorum, over_quota
+        return legs[:P_in], quorum[:P_in], over_quota
 
     return solve

@@ -352,7 +352,16 @@ def make_multileg_kernel(
     @jax.jit
     def fn(tab, gx, gy, gz):
         P = tab.shape[0]
-        grid = (P // POSE_ROWS,)
+        pad = (-P) % POSE_ROWS
+        if pad:
+            # grid below covers whole POSE_ROWS tiles only: pad the pose
+            # axis (sentinel candidates -> padded rows compute no bits)
+            # and slice the pad back off at the end
+            tab = jnp.pad(tab, ((0, pad), (0, 0)))
+            gx = jnp.pad(gx, ((0, pad), (0, 0)), constant_values=1e9)
+            gy = jnp.pad(gy, ((0, pad), (0, 0)), constant_values=1e9)
+            gz = jnp.pad(gz, ((0, pad), (0, 0)), constant_values=1e9)
+        grid = ((P + pad) // POSE_ROWS,)
         tab_spec = pl.BlockSpec(
             (POSE_ROWS, W), lambda i: (i, 0), memory_space=pltpu.VMEM
         )
@@ -366,13 +375,13 @@ def make_multileg_kernel(
         )
         out = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((P, _LANES), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct((P + pad, _LANES), jnp.int32),
             grid=grid,
             in_specs=[tab_spec, cand_spec, cand_spec, cand_spec],
             out_specs=out_spec,
             interpret=interpret,
         )(tab, gx, gy, gz)
-        return out[:, :L] > 0
+        return out[:P, :L] > 0
 
     return fn
 

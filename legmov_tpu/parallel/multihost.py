@@ -27,13 +27,19 @@ def initialize_distributed(**kw) -> None:
     (coordinator_address, num_processes, process_id, local_device_ids)
     override for manual setups — they are forwarded verbatim.
     """
-    from jax._src import distributed as _dist
-
     # NOTE: must not call jax.process_count()/jax.devices() here — those
     # initialize the XLA backend, after which jax.distributed.initialize
     # refuses to run; inspect the distributed client state directly.
-    if getattr(_dist.global_state, "client", None) is not None:
-        return  # already initialized
+    # jax._src is a private namespace: if the probe breaks on a JAX
+    # upgrade, fall through and let initialize() itself report
+    # already-initialized.
+    try:
+        from jax._src import distributed as _dist
+
+        if getattr(_dist.global_state, "client", None) is not None:
+            return  # already initialized
+    except ImportError:
+        pass
     if kw:
         jax.distributed.initialize(**kw)  # manual setup: errors surface
         return

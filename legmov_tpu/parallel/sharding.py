@@ -86,7 +86,9 @@ def sharded_distance(mesh: Mesh):
     return fn
 
 
-def sharded_positionable(mesh: Mesh, k: int | None = None):
+def sharded_positionable(
+    mesh: Mesh, k: int | None = None, chunk: int = 0
+):
     """Jitted pose-feasibility sweep sharded over the mesh.
 
     ``(body_pos [P,3], body_quat [P,4], footholds [F,3], robot) -> [P] bool``
@@ -94,10 +96,29 @@ def sharded_positionable(mesh: Mesh, k: int | None = None):
     ``"points"`` axis.  Each chip computes per-(pose, leg) "any local
     foothold reachable"; the cross-chip OR is a ``psum`` over ``"points"``
     (ICI collective), then legs are counted against the quorum ``k``.
+
+    ``chunk > 0`` scans the local pose shard in chunks of that size,
+    bounding the per-device ``[P_local, F_local, L]`` intermediate to
+    ``chunk * F_local * L`` — required for large pose batches (the TPU
+    twin of the reference's <=1024-target blocking,
+    several_leg.cu:143-156).
     """
 
+    def _legs_ok(body_pos, body_quat, footholds, robot):
+        if chunk and body_pos.shape[0] > chunk:
+            Pl = body_pos.shape[0]
+            pad = (-Pl) % chunk
+            bp = jnp.pad(body_pos, ((0, pad), (0, 0)))
+            bq = jnp.pad(body_quat, ((0, pad), (0, 0)))
+            out = jax.lax.map(
+                lambda bc: reachable_legs(bc[0], bc[1], footholds, robot),
+                (bp.reshape(-1, chunk, 3), bq.reshape(-1, chunk, 4)),
+            )
+            return out.reshape(Pl + pad, -1)[:Pl]
+        return reachable_legs(body_pos, body_quat, footholds, robot)
+
     def local(body_pos, body_quat, footholds, robot):
-        legs_ok = reachable_legs(body_pos, body_quat, footholds, robot)
+        legs_ok = _legs_ok(body_pos, body_quat, footholds, robot)
         # OR across foothold shards: sum of bools > 0
         total = jax.lax.psum(legs_ok.astype(jnp.int32), axis_name="points")
         counts = jnp.sum(total > 0, axis=-1).astype(jnp.int32)

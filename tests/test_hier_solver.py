@@ -243,3 +243,35 @@ class TestTerrain:
         a = moon_ground(seed=7)
         b = moon_ground(seed=7)
         np.testing.assert_array_equal(a, b)
+
+
+class TestBatchSubsetPadding:
+    def test_non_power_of_two_chunk_drops_no_footholds(self):
+        """Batch-local foothold subsetting pads to a power-of-two
+        bucket; that bucket must be rounded UP to a chunk multiple or
+        the evaluators' n_chunks * chunk truncation silently drops real
+        candidates (regression).
+
+        Construction: the batch-local subset is exactly 50 points (48
+        unreachable decoys followed by the 2 only-valid footholds) and
+        111 far-away points force the subset path (sub < F/2).  With
+        chunk=48 the old pad gave next_pow2(50) = 64 -> 64 // 48 = 1
+        chunk -> only the 48 decoys evaluated, silently erasing every
+        valid cell."""
+        decoys = np.stack(
+            [np.linspace(-300, 300, 48), np.full(48, 10.0),
+             np.full(48, -560.0)], -1,  # inside batch bbox, unreachable
+        ).astype(np.float32)
+        good = ring_footholds(n=2)  # the only reachable footholds
+        far = np.stack(
+            [np.full(111, 1e5), np.zeros(111), np.full(111, -120.0)], -1,
+        ).astype(np.float32)
+        fh = np.concatenate([decoys, good, far])
+        robot = get_moonbot_robot()
+        a = solve_positionability(fh, robot, SMALL_CFG, chunk=48,
+                                  cell_batch=64)
+        b = solve_positionability(fh[:50], robot, SMALL_CFG, chunk=48,
+                                  cell_batch=64)
+        assert a.valid.any()
+        np.testing.assert_array_equal(a.valid, b.valid)
+        np.testing.assert_array_equal(a.centers, b.centers)

@@ -232,7 +232,7 @@ def test_csr_dma_solver_matches_topk(rng):
     assert not np.any(np.asarray(legs_q) & ~np.asarray(legs_t6))
 
 
-def test_decide_quorum_exact_quorum_subset_legs(rng):
+def test_decide_quorum_exact_quorum_subset_legs():
     """decide='quorum' must return the EXACT quorum bit while stopping
     poses early: per-leg bits may be under- but never over-reported.
     Covers k == L (one proven-infeasible leg kills the pose) and
@@ -257,7 +257,10 @@ def test_decide_quorum_exact_quorum_subset_legs(rng):
     cols = jnp.asarray(ball_columns(offs))
     (gx, gy, gz), cap_pad = pad_grid_soa(g)
     P = 32
-    body, quats = _poses(P, rng)
+    # local rng: the session fixture makes pose draws depend on test
+    # order, and this test's mixed-quorum sanity check needs a seed
+    # where both k=4 and k=2 leave some poses infeasible
+    body, quats = _poses(P, np.random.default_rng(0))
     for k in (L, 2):
         legs_t, quorum_t, _ = grid_reachable_legs_topk(
             body, quats, g, robot, jnp.asarray(offs), top_k=80, k=k
@@ -374,3 +377,74 @@ def test_solver_fuzz_smoke():
         cwd=repo,
     )
     assert out.returncode == 0, out.stdout + out.stderr
+
+
+def test_solvers_ragged_pose_count():
+    """P not a multiple of 8 (the Pallas tile height): the dense kernel,
+    the adaptive solver, and both CSR solvers must pad the pose axis
+    internally instead of silently truncating / garbage-filling the last
+    partial tile (regression: grid = P // POSE_ROWS dropped the tail)."""
+    from legmov_tpu.ops.csr_grid import (
+        ball_columns,
+        build_csr_grid,
+        make_csr_dma_solver,
+        make_csr_solver,
+    )
+    from legmov_tpu.ops.pallas_multileg import make_adaptive_grid_solver
+
+    robot = get_moonbot_robot()
+    reach = cell_size_for(robot)
+    cell = reach / 2
+    fh = flat_grid((-1200, 1201), (-1200, 1201), 90.0, z=-130.0)
+    fh = fh[~((np.abs(fh[:, 0]) < 420) & (fh[:, 1] > 120))]
+    g = build_grid(fh, cell)
+    offs = neighbor_offsets(cell, reach)
+    csr = build_csr_grid(fh, cell)
+    cols = jnp.asarray(ball_columns(offs))
+    (gx, gy, gz), cap_pad = pad_grid_soa(g)
+    P = 13  # deliberately ragged
+    body, quats = _poses(P, np.random.default_rng(3))
+    legs_t, quorum_t, _ = grid_reachable_legs_topk(
+        body, quats, g, robot, jnp.asarray(offs), top_k=80, k=4
+    )
+    assert legs_t.shape[0] == P
+
+    solver = make_csr_solver(
+        robot, window=128, interpret=True, rounds=((4, 1.0), (0, 1.0)),
+    )
+    legs_c, quorum_c, _ = solver(
+        body, quats, csr.xs, csr.ys, csr.zs, csr.starts, csr.origin,
+        cols, cell_size=csr.cell_size, k=4, dims=csr.dims,
+    )
+    assert legs_c.shape == (P, legs_t.shape[1])
+    np.testing.assert_array_equal(np.asarray(legs_c), np.asarray(legs_t))
+    np.testing.assert_array_equal(
+        np.asarray(quorum_c), np.asarray(quorum_t)
+    )
+
+    dma = make_csr_dma_solver(
+        robot, window=128, interpret=True, rounds=((4, 1.0), (8, 0.5)),
+        super_step=8,
+    )
+    legs_d, quorum_d, _ = dma(
+        body, quats, csr.xs, csr.ys, csr.zs, csr.starts, csr.origin,
+        cols, cell_size=csr.cell_size, k=4, dims=csr.dims,
+    )
+    assert legs_d.shape == (P, legs_t.shape[1])
+    np.testing.assert_array_equal(np.asarray(legs_d), np.asarray(legs_t))
+    np.testing.assert_array_equal(
+        np.asarray(quorum_d), np.asarray(quorum_t)
+    )
+
+    adaptive = make_adaptive_grid_solver(
+        robot, cap_pad, interpret=True, rounds=((8, 1.0), (0, 1.0)),
+    )
+    legs_a, quorum_a, _ = adaptive(
+        body, quats, gx, gy, gz, g.counts, g.origin, g.cell_size,
+        jnp.asarray(offs), top_k=0, k=4, dims=g.dims,
+    )
+    assert legs_a.shape == (P, legs_t.shape[1])
+    np.testing.assert_array_equal(np.asarray(legs_a), np.asarray(legs_t))
+    np.testing.assert_array_equal(
+        np.asarray(quorum_a), np.asarray(quorum_t)
+    )

@@ -45,18 +45,20 @@ def main() -> None:
 
     OPTS = frozenset(["opt_rsqrt", "opt_corner_linear"])
     cases = [
-        # current default = both tolerance-preserving opts on
-        ("default(opts)", dict()),
-        ("plain", dict(ablate=frozenset())),
+        # current default = plain (the probed opts lost on hardware; a
+        # feature name IN the ablate set turns that variant ON)
+        ("plain(default)", dict()),
+        ("both_opts", dict(ablate=OPTS)),
         ("opt_rsqrt", dict(ablate=frozenset(["opt_rsqrt"]))),
         ("opt_corner_lin", dict(ablate=frozenset(["opt_corner_linear"]))),
         ("block256", dict(block_rows=256)),
-        # section ablations (results WRONG — cost attribution only)
-        ("no_validate", dict(ablate=OPTS | {"no_validate"})),
-        ("no_corners", dict(ablate=OPTS | {"no_corners"})),
-        ("single_branch", dict(ablate=OPTS | {"single_branch"})),
-        ("all_off", dict(ablate=OPTS | {
-            "no_validate", "no_corners", "single_branch"})),
+        # section ablations off the plain kernel (results WRONG — cost
+        # attribution only)
+        ("no_validate", dict(ablate=frozenset({"no_validate"}))),
+        ("no_corners", dict(ablate=frozenset({"no_corners"}))),
+        ("single_branch", dict(ablate=frozenset({"single_branch"}))),
+        ("all_off", dict(ablate=frozenset(
+            {"no_validate", "no_corners", "single_branch"}))),
     ]
     base = None
     for name, kw in cases:

@@ -103,7 +103,11 @@ def worker(proc: int, port: int, args) -> None:
     gfh = replicated(fh)
     grobot = jax.tree.map(replicated, robot)
 
-    solver = sharded_positionable(mesh, k=k)
+    # chunk the local pose shard: the unchunked [P_local, F_local, L]
+    # intermediate at 100k-pose scale would thrash a CPU host
+    solver = sharded_positionable(
+        mesh, k=k, chunk=4096 if n_poses * n_fh > 1 << 24 else 0
+    )
     t0 = time.perf_counter()
     out = solver(gbody, gq, gfh, grobot)
     jax.block_until_ready(out)
