@@ -49,24 +49,14 @@ from legmov_tpu.ops.pallas_multileg import (
     table_width,
     tile_leg_bits,
 )
+from legmov_tpu.ops.solve_schedule import (
+    make_undecided,
+    robot_geometry,
+    run_schedule,
+    wanted,
+)
 
 _LANES = 128
-
-
-def _robot_geometry(robot: LegDimensions):
-    """Host-side (mount_vec [L, 3], reach_l [L]) for the reach-ball
-    relevance test."""
-    host = jax.tree.map(lambda x: np.asarray(x), robot)
-    L = int(np.shape(host.body_angle)[0])
-    reach_l = np.asarray(
-        host.coxa_length + host.femur_length + host.tibia_length
-    )
-    mount_vec = np.stack(
-        [np.asarray(host.body) * np.cos(np.asarray(host.body_angle)),
-         np.asarray(host.body) * np.sin(np.asarray(host.body_angle)),
-         np.zeros(L)], -1,
-    ).astype(np.float32)
-    return mount_vec, reach_l
 
 
 def _pose_columns(
@@ -182,6 +172,55 @@ def ball_columns(offsets: np.ndarray) -> np.ndarray:
     return np.asarray(rows, np.int32)
 
 
+def suggest_rounds(
+    csr: "CSRGrid", columns: np.ndarray, window: int,
+    quantile: float = 0.90,
+) -> tuple:
+    """Density-aware early-exit schedule for the CSR solvers.
+
+    The default hand-tuned schedule (12+24+48+96 scheduled windows)
+    starves when cells are dense: a pose's full queue holds roughly
+    ``C x ceil(len_col / window)`` chunks, where ``len_col`` is the
+    pose's typical (x, y)-column occupancy — ~37 chunks on the 1M-point
+    moon map but ~370 at 10M points (same terrain extent, 10x denser
+    columns), forcing the exactness safety round to do the bulk of the
+    work.  This sizes the scheduled rounds from the grid itself: take
+    the ``quantile`` of per-(x, y) column occupancy (full z-extent — a
+    conservative upper proxy for any pose's z-window), convert to
+    chunks, and spread ``Q ~= C x chunks`` geometrically over the
+    standard halving pose fractions so a typical worst-case pose's
+    queue fits inside the scheduled budget.
+    """
+    starts = np.asarray(csr.starts)
+    nx, ny, nz = csr.dims
+    per_xy = starts[nz::nz][: nx * ny] - starts[0:-1:nz][: nx * ny]
+    occ = per_xy[per_xy > 0]
+    len_col = float(np.quantile(occ, quantile)) if occ.size else 0.0
+    chunks = max(1, int(np.ceil(len_col / window)))
+    q = max(8, int(np.asarray(columns).shape[0]) * chunks)
+    return (
+        (max(1, q // 16), 1.0),
+        (max(1, q // 8), 0.5),
+        (max(1, q // 4), 0.25),
+        (max(1, q // 2), 0.125),
+        (0, 0.0625),
+    )
+
+
+def _column_queue(cl_, rel_, legs_, scanned_, undecided, w32):
+    """Per-pose window queue over still-wanted columns.
+
+    Returns ``(want [A, C], cum [A, C])`` where ``cum`` is the inclusive
+    cumsum of per-column chunk counts (``ceil(len / window)`` for wanted
+    columns, 0 otherwise) — chunk q of a pose's queue decodes to
+    (column, offset-within-column) by searching ``cum``.
+    """
+    want = wanted(rel_, legs_, scanned_, undecided)
+    chunks = jnp.where(want, (cl_ + (w32 - 1)) // w32, 0)
+    cum = jnp.cumsum(chunks, axis=1)
+    return want, cum
+
+
 def make_csr_solver(
     robot: LegDimensions, window: int = 2048, interpret: bool = False,
     rounds: tuple = ((12, 1.0), (24, 0.5), (48, 0.25), (96, 0.125),
@@ -217,13 +256,12 @@ def make_csr_solver(
       under-reported (never over-reported), so the final
       ``sum(legs) >= k`` test still returns the exact quorum.
     """
-    if decide not in ("legs", "quorum"):
-        raise ValueError(f"decide must be 'legs' or 'quorum', got {decide!r}")
+    make_undecided(decide, 0)  # validate ``decide`` eagerly
     if window % _LANES:
         raise ValueError(f"window {window} not a multiple of {_LANES}")
     kernel_fn = make_multileg_kernel(robot, window, interpret)
     L = int(jax.tree.leaves(robot)[0].shape[0])
-    mount_vec, reach_l = _robot_geometry(robot)
+    mount_vec, reach_l = robot_geometry(robot)
 
     @partial(jax.jit, static_argnames=("k", "dims", "cell_size"))
     def solve(
@@ -250,28 +288,14 @@ def make_csr_solver(
         w32 = jnp.int32(window)
 
         k_eff = jnp.int32(k if k else L)
+        undecided = make_undecided(decide, k_eff)
 
-        def undecided(legs_, scanned_, rel_):
-            """[A] poses whose result can still change under ``decide``."""
-            rem = jnp.any(rel_ & ~scanned_[:, :, None], axis=1)  # [A, L]
-            if decide == "legs":
-                return jnp.any(~legs_ & rem, axis=-1)
-            found = jnp.sum(legs_, axis=-1)
-            possible = jnp.sum(legs_ | rem, axis=-1)
-            return (found < k_eff) & (possible >= k_eff)
-
-        def run_round(tab_, cs_, cl_, rel_, legs_, scanned_, n_windows):
+        def run_round(per_pose, rel_, legs_, scanned_, n_windows):
             """Walk up to n_windows chunks of each pose's column queue."""
-            active = undecided(legs_, scanned_, rel_)
-            want = (
-                jnp.any(rel_ & ~legs_[:, None, :], -1)
-                & ~scanned_
-                & active[:, None]
+            tab_, cs_, cl_ = per_pose
+            want, cum = _column_queue(
+                cl_, rel_, legs_, scanned_, undecided, w32
             )
-            chunks = jnp.where(
-                want, (cl_ + (w32 - 1)) // w32, 0
-            )  # [A, C]
-            cum = jnp.cumsum(chunks, axis=1)  # [A, C] inclusive
             q_tot = cum[:, -1]
             limit = jnp.minimum(
                 jnp.max(q_tot),
@@ -318,36 +342,13 @@ def make_csr_solver(
             scanned_ = scanned_ | (want & (cum <= q_done))
             return legs_, scanned_
 
-        legs = jnp.zeros((P, L), bool)
-        scanned = jnp.zeros((P, C), bool)
-        over_quota = jnp.zeros((), bool)
-        for r, (n_windows, frac) in enumerate(
-            tuple(rounds) + ((0, 1.0),)  # full-width safety round
-        ):
-            if r == 0 or frac >= 1.0:
-                if r > 0:
-                    # the safety round does real work only if the
-                    # scheduled rounds starved some undecided pose
-                    over_quota = jnp.any(undecided(legs, scanned, rel))
-                legs, scanned = run_round(
-                    tab, col_start, col_len, rel, legs, scanned, n_windows
-                )
-            else:
-                A = max(
-                    POSE_ROWS,
-                    ((int(P * frac) + POSE_ROWS - 1) // POSE_ROWS)
-                    * POSE_ROWS,
-                )
-                A = min(A, P)
-                undone = undecided(legs, scanned, rel)
-                _, idx = jax.lax.top_k(undone.astype(jnp.int32), A)
-                legs2, scanned2 = run_round(
-                    tab[idx], col_start[idx], col_len[idx], rel[idx],
-                    legs[idx], scanned[idx], n_windows,
-                )
-                legs = legs.at[idx].set(legs2)
-                scanned = scanned.at[idx].set(scanned2)
-        quorum = jnp.sum(legs, axis=-1) >= jnp.int32(k if k else L)
+        legs, scanned, over_quota = run_schedule(
+            tuple(rounds) + ((0, 1.0),),  # full-width safety round
+            (tab, col_start, col_len), rel,
+            jnp.zeros((P, L), bool), jnp.zeros((P, C), bool),
+            undecided, run_round,
+        )
+        quorum = jnp.sum(legs, axis=-1) >= k_eff
         return legs, quorum, over_quota
 
     return solve
@@ -403,14 +404,13 @@ def make_csr_dma_solver(
     form of the verdict-mandated "scalar-prefetch / async-copy candidate
     streaming" (VERDICT round 1, next-round item 1).
     """
-    if decide not in ("legs", "quorum"):
-        raise ValueError(f"decide must be 'legs' or 'quorum', got {decide!r}")
+    make_undecided(decide, 0)  # validate ``decide`` eagerly
     if window % _LANES:
         raise ValueError(f"window {window} not a multiple of {_LANES}")
     L = int(jax.tree.leaves(robot)[0].shape[0])
     W = table_width(L)
     legs_const = leg_constants(robot)
-    mount_vec, reach_l = _robot_geometry(robot)
+    mount_vec, reach_l = robot_geometry(robot)
     # fetch width: the window rounded UP to the align quantum (the DMA
     # slice SHAPE must respect the (8, 128) tiling too, so w_rows must
     # be a multiple of 8) plus one extra quantum absorbing the
@@ -572,26 +572,7 @@ def make_csr_dma_solver(
         tab = oriented_tables(body, quats, robot)
         w32 = jnp.int32(window)
         k_eff = jnp.int32(k if k else L)
-
-        def undecided(legs_, scanned_, rel_):
-            """Same stopping rules as make_csr_solver."""
-            rem = jnp.any(rel_ & ~scanned_[:, :, None], axis=1)
-            if decide == "legs":
-                return jnp.any(~legs_ & rem, axis=-1)
-            found = jnp.sum(legs_, axis=-1)
-            possible = jnp.sum(legs_ | rem, axis=-1)
-            return (found < k_eff) & (possible >= k_eff)
-
-        def make_queue(cl_, rel_, legs_, scanned_):
-            active = undecided(legs_, scanned_, rel_)
-            want = (
-                jnp.any(rel_ & ~legs_[:, None, :], -1)
-                & ~scanned_
-                & active[:, None]
-            )
-            chunks = jnp.where(want, (cl_ + (w32 - 1)) // w32, 0)
-            cum = jnp.cumsum(chunks, axis=1)  # [A, C] inclusive
-            return want, cum
+        undecided = make_undecided(decide, k_eff)
 
         def starts_for(cs_, cum, q0, S):
             """[A, S] clamped CSR start ROW indices for chunks
@@ -629,8 +610,11 @@ def make_csr_dma_solver(
             out = jnp.zeros((A, _LANES), jnp.int32)
             return out.at[:, :L].set(legs_.astype(jnp.int32))
 
-        def run_round(tab_, cs_, cl_, rel_, legs_, scanned_, n_windows):
-            want, cum = make_queue(cl_, rel_, legs_, scanned_)
+        def run_round(per_pose, rel_, legs_, scanned_, n_windows):
+            tab_, cs_, cl_ = per_pose
+            want, cum = _column_queue(
+                cl_, rel_, legs_, scanned_, undecided, w32
+            )
             legs_i = legs_to_i32(legs_)
             if n_windows:
                 starts_mat = starts_for(cs_, cum, jnp.int32(0), n_windows)
@@ -658,33 +642,12 @@ def make_csr_dma_solver(
             scanned_ = scanned_ | (want & (cum <= q_done))
             return legs_, scanned_
 
-        legs = jnp.zeros((P, L), bool)
-        scanned = jnp.zeros((P, C), bool)
-        over_quota = jnp.zeros((), bool)
-        for r, (n_windows, frac) in enumerate(
-            tuple(rounds) + ((0, 1.0),)  # full-width safety round
-        ):
-            if r == 0 or frac >= 1.0:
-                if r > 0:
-                    over_quota = jnp.any(undecided(legs, scanned, rel))
-                legs, scanned = run_round(
-                    tab, col_start, col_len, rel, legs, scanned, n_windows
-                )
-            else:
-                A = max(
-                    POSE_ROWS,
-                    ((int(P * frac) + POSE_ROWS - 1) // POSE_ROWS)
-                    * POSE_ROWS,
-                )
-                A = min(A, P)
-                undone = undecided(legs, scanned, rel)
-                _, idx = jax.lax.top_k(undone.astype(jnp.int32), A)
-                legs2, scanned2 = run_round(
-                    tab[idx], col_start[idx], col_len[idx], rel[idx],
-                    legs[idx], scanned[idx], n_windows,
-                )
-                legs = legs.at[idx].set(legs2)
-                scanned = scanned.at[idx].set(scanned2)
+        legs, scanned, over_quota = run_schedule(
+            tuple(rounds) + ((0, 1.0),),  # full-width safety round
+            (tab, col_start, col_len), rel,
+            jnp.zeros((P, L), bool), jnp.zeros((P, C), bool),
+            undecided, run_round,
+        )
         quorum = jnp.sum(legs, axis=-1) >= k_eff
         return legs[:P_in], quorum[:P_in], over_quota
 

@@ -38,8 +38,14 @@ from jax.experimental.pallas import tpu as pltpu
 from legmov_tpu.models.leg import LegDimensions
 from legmov_tpu.models.workspace import build_workspace
 from legmov_tpu.ops.orientation import rotate_leg_data
+from legmov_tpu.ops.solve_schedule import (
+    POSE_ROWS,
+    make_undecided,
+    robot_geometry,
+    run_schedule,
+    wanted,
+)
 
-POSE_ROWS = 8
 _LANES = 128
 
 #: per-leg slice layout inside the packed table (offsets relative to the
@@ -447,22 +453,11 @@ def make_adaptive_grid_solver(
     semantics; with ``k == L`` one proven-infeasible leg kills the pose
     immediately (the octree early-out of several_leg_octree.cu:117-131).
     """
-    if decide not in ("legs", "quorum"):
-        raise ValueError(f"decide must be 'legs' or 'quorum', got {decide!r}")
+    make_undecided(decide, 0)  # validate ``decide`` eagerly
     kernel_fn = make_multileg_kernel(robot, cand_cols, interpret)
     L = int(jax.tree.leaves(robot)[0].shape[0])
-    # per-leg mount parameters for the reach-ball relevance test
-    mounts = np.asarray(jax.tree.map(lambda x: np.asarray(x), robot).body_angle)
-    body_r = np.asarray(jax.tree.map(lambda x: np.asarray(x), robot).body)
-    reach_l = np.asarray(
-        np.asarray(jax.tree.map(lambda x: np.asarray(x), robot).coxa_length)
-        + np.asarray(jax.tree.map(lambda x: np.asarray(x), robot).femur_length)
-        + np.asarray(jax.tree.map(lambda x: np.asarray(x), robot).tibia_length)
-    )
-    mount_vec = np.stack(
-        [body_r * np.cos(mounts), body_r * np.sin(mounts),
-         np.zeros_like(body_r)], -1
-    ).astype(np.float32)  # [L, 3] coxa joint in the body frame
+    # per-leg mount point + reach radius for the relevance test
+    mount_vec, reach_l = robot_geometry(robot)
 
     @partial(jax.jit, static_argnames=("top_k", "k", "dims"))
     def solve(
@@ -517,30 +512,18 @@ def make_adaptive_grid_solver(
         sentinel = jnp.float32(1e9)
 
         k_eff = jnp.int32(k if k else L)
-
-        def undecided(legs_, scanned_, rel_):
-            """[A] poses whose result can still change under ``decide``."""
-            rem = jnp.any(rel_ & ~scanned_[:, :, None], axis=1)  # [A, L]
-            if decide == "legs":
-                return jnp.any(~legs_ & rem, axis=-1)
-            found = jnp.sum(legs_, axis=-1)
-            possible = jnp.sum(legs_ | rem, axis=-1)
-            return (found < k_eff) & (possible >= k_eff)
+        undecided = make_undecided(decide, k_eff)
 
         def order_cells(rel_, legs_, scanned_, n_steps):
             """[A, n_steps] cell priority order: unscanned cells relevant
             to a missing leg, nearest first; zero-score slots are dead."""
-            active = undecided(legs_, scanned_, rel_)
-            want = (
-                jnp.any(rel_ & ~legs_[:, None, :], axis=-1)
-                & ~scanned_
-                & active[:, None]
-            )
+            want = wanted(rel_, legs_, scanned_, undecided)
             score = jnp.where(want, jnp.int32(2 * K) - near_rank, 0)
             val, order = jax.lax.top_k(score, n_steps)
             return order, val > 0
 
-        def run_round(tab_, flat_, rel_, legs_, scanned_, n_steps):
+        def run_round(per_pose, rel_, legs_, scanned_, n_steps):
+            tab_, flat_ = per_pose
             order, live = order_cells(rel_, legs_, scanned_, n_steps)
             # liveness is a per-pose prefix of the score-sorted order, so
             # the loop can stop at the longest live prefix — trailing
@@ -572,43 +555,21 @@ def make_adaptive_grid_solver(
             ].set(True)
             return legs_, scanned_
 
-        # normalize rounds: last entry 0 = "all cells"
+        # normalize quotas (0 = "all cells", clamp to K) and append the
+        # full-width safety round: it runs zero kernel steps when the
+        # schedule already decided every pose (the live-prefix loop
+        # bound is 0) and finishes stragglers otherwise, making results
+        # unconditionally exact; ``overflow`` reports whether it had to
+        # do real work
         rounds_eff = tuple(
-            (n if n else K, f) for n, f in rounds
+            (min(n, K) if n else K, f) for n, f in rounds
+        ) + ((K, 1.0),)
+        legs, scanned, over_quota = run_schedule(
+            rounds_eff, (tab, flat), rel,
+            jnp.zeros((P, L), bool), jnp.zeros((P, K), bool),
+            undecided, run_round,
         )
-
-        legs = jnp.zeros((P, L), bool)
-        scanned = jnp.zeros((P, K), bool)
-        over_quota = jnp.zeros((), bool)
-        # a full-width safety round is always appended: it runs zero
-        # kernel steps when the schedule already decided every pose (the
-        # live-prefix loop bound is 0) and finishes stragglers otherwise,
-        # making results unconditionally exact; ``overflow`` reports
-        # whether it had to do real work
-        for r, (n_cells, frac) in enumerate(rounds_eff + ((K, 1.0),)):
-            steps = min(n_cells, K)
-            if r == 0 or frac >= 1.0:
-                if r > 0:
-                    over_quota = jnp.any(undecided(legs, scanned, rel))
-                legs, scanned = run_round(
-                    tab, flat, rel, legs, scanned, steps
-                )
-            else:
-                A = max(
-                    POSE_ROWS,
-                    ((int(P * frac) + POSE_ROWS - 1) // POSE_ROWS)
-                    * POSE_ROWS,
-                )
-                A = min(A, P)
-                undone = undecided(legs, scanned, rel)
-                _, idx = jax.lax.top_k(undone.astype(jnp.int32), A)
-                legs2, scanned2 = run_round(
-                    tab[idx], flat[idx], rel[idx], legs[idx],
-                    scanned[idx], steps,
-                )
-                legs = legs.at[idx].set(legs2)
-                scanned = scanned.at[idx].set(scanned2)
-        quorum = jnp.sum(legs, axis=-1) >= jnp.int32(k if k else L)
+        quorum = jnp.sum(legs, axis=-1) >= k_eff
         return legs, quorum, over_quota
 
     return solve

@@ -1,0 +1,139 @@
+"""Direct unit tests for the shared early-exit scheduling skeleton
+(ops/solve_schedule.py) — the machinery the adaptive dense solver and
+both CSR streaming solvers delegate to."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from legmov_tpu.ops.solve_schedule import (
+    POSE_ROWS,
+    make_undecided,
+    robot_geometry,
+    run_schedule,
+    wanted,
+)
+from legmov_tpu.models.robot import get_m2_robot
+
+
+def test_undecided_legs_mode():
+    und = make_undecided("legs", jnp.int32(2))
+    legs = jnp.asarray([[True, False], [True, True], [False, False]])
+    # columns: pose 0 has unscanned relevant work for its missing leg,
+    # pose 1 is fully found, pose 2's remaining relevance is scanned out
+    rel = jnp.asarray(
+        [[[False, True]], [[True, True]], [[True, True]]]
+    )  # [3, 1, 2]
+    scanned = jnp.asarray([[False], [False], [True]])
+    out = np.asarray(und(legs, scanned, rel))
+    assert out.tolist() == [True, False, False]
+
+
+def test_undecided_quorum_mode():
+    und = make_undecided("quorum", jnp.int32(2))
+    legs = jnp.asarray([[True, False, False], [True, False, False],
+                        [True, True, False]])
+    rel = jnp.zeros((3, 1, 3), bool)
+    # pose 0: one more leg possible -> quorum 2 still open
+    rel = rel.at[0, 0, 1].set(True)
+    # pose 1: nothing left -> quorum impossible, decided
+    # pose 2: already at quorum -> decided
+    scanned = jnp.zeros((3, 1), bool)
+    out = np.asarray(und(legs, scanned, rel))
+    assert out.tolist() == [True, False, False]
+
+
+def test_wanted_masks_scanned_found_and_decided():
+    und = make_undecided("legs", jnp.int32(1))
+    legs = jnp.asarray([[False], [True]])
+    rel = jnp.asarray([[[True], [True]], [[True], [True]]])  # [2, 2, 1]
+    scanned = jnp.asarray([[True, False], [False, False]])
+    w = np.asarray(wanted(rel, legs, scanned, und))
+    # pose 0: column 0 scanned, column 1 wanted; pose 1: found -> nothing
+    assert w.tolist() == [[False, True], [False, False]]
+
+
+def test_run_schedule_compaction_and_overflow():
+    """A quota-starved schedule must engage the safety round (overflow
+    True) and still converge; an ample schedule reports overflow False."""
+    P, C, L = 2 * POSE_ROWS, 4, 1
+    rel = jnp.ones((P, C, L), bool)
+    per_pose = (jnp.arange(P, dtype=jnp.int32),)
+
+    def make_run_round(budget_log):
+        def run_round(pp, rel_, legs_, scanned_, quota):
+            (ids,) = pp
+            budget_log.append((int(ids.shape[0]), quota))
+            # scan `quota` columns per call; a pose finds its leg only
+            # once every column is scanned
+            A = legs_.shape[0]
+            n_scanned = jnp.sum(scanned_, 1)
+            newly = jnp.minimum(n_scanned + quota, C)
+            scanned_ = (
+                jnp.arange(C)[None, :] < newly[:, None]
+            )
+            legs_ = legs_ | (newly == C)[:, None]
+            return legs_, scanned_
+
+        return run_round
+
+    und = make_undecided("legs", jnp.int32(1))
+
+    # ample: one full round covers all C columns -> no safety work
+    log = []
+    legs, scanned, over = run_schedule(
+        ((C, 1.0), (C, 1.0)), per_pose, rel,
+        jnp.zeros((P, L), bool), jnp.zeros((P, C), bool),
+        und, make_run_round(log),
+    )
+    assert bool(np.asarray(legs).all()) and not bool(over)
+
+    # starved: round 1 scans 1 column for everyone, round 2 compacts to
+    # half the poses (rounded to POSE_ROWS) -> the rest starve until the
+    # safety round
+    log = []
+    legs, scanned, over = run_schedule(
+        ((1, 1.0), (1, 0.5), (C, 1.0)), per_pose, rel,
+        jnp.zeros((P, L), bool), jnp.zeros((P, C), bool),
+        und, make_run_round(log),
+    )
+    assert bool(np.asarray(legs).all())
+    assert bool(over)
+    # compacted round saw POSE_ROWS poses, not P
+    assert log[1][0] == POSE_ROWS
+
+
+def test_robot_geometry_shapes():
+    mv, rl = robot_geometry(get_m2_robot())
+    L = mv.shape[0]
+    assert mv.shape == (L, 3) and rl.shape == (L,)
+    # mount radius equals the body parameter
+    r = np.linalg.norm(mv[:, :2], axis=1)
+    body = np.asarray(get_m2_robot().body)
+    np.testing.assert_allclose(r, body, rtol=1e-6)
+
+
+def test_suggest_rounds_scales_with_density():
+    from legmov_tpu.ops.csr_grid import (ball_columns, build_csr_grid,
+                                         suggest_rounds)
+
+    rng = np.random.default_rng(0)
+    cols = ball_columns(
+        np.stack(np.meshgrid(*( [np.arange(-1, 2)] * 3 ),
+                             indexing="ij"), -1).reshape(-1, 3)
+    )
+    C = cols.shape[0]
+
+    def grid_at(n):
+        pts = rng.uniform(0, 1000, (n, 3)).astype(np.float32)
+        return build_csr_grid(pts, 250.0)
+
+    sparse = suggest_rounds(grid_at(2_000), cols, window=256)
+    dense = suggest_rounds(grid_at(200_000), cols, window=256)
+    tot = lambda r: sum(n for n, _ in r)
+    # 100x the points in the same extent -> a much larger schedule
+    assert tot(dense) > 10 * tot(sparse)
+    # schedule covers roughly a worst-case pose's queue (C x chunks)
+    assert tot(dense) >= C
+    # shape invariants: halving fractions, unbounded last round
+    assert [f for _, f in dense] == [1.0, 0.5, 0.25, 0.125, 0.0625]
+    assert dense[-1][0] == 0
