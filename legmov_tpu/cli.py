@@ -12,7 +12,10 @@ The TPU-native equivalent of the reference's ``LAUNCH.bash`` workflow
 * ``report``   — render the reachability / distance images and the
   reachable-volume estimate (after.py semantics);
 * ``solve``    — hierarchical body-pose positionability over the terrain
-  (the several_leg_octree path), writing valid cell centers.
+  (the several_leg_octree path), writing valid cell centers;
+* ``map``      — flat body-pose feasibility over the prepared body
+  voxel candidates (the several_leg.cu eliminateUnreachable /
+  agregateReachability surface) via the CSR-DMA streaming solver.
 
 Run as ``python -m legmov_tpu.cli <command> [options]``.
 """
@@ -192,6 +195,82 @@ def cmd_solve(args) -> None:
     )
 
 
+def cmd_map(args) -> None:
+    """Flat body-pose feasibility map over the prepared candidates.
+
+    The reference's dense multi-leg elimination surface
+    (several_leg.cu ``eliminateUnreachable``/``agregateReachability``
+    over the before.py body voxel grid) at map scale: every body
+    candidate from ``numpy_input_b`` is tested for >= k reachable legs
+    against the terrain footholds, through the CSR-DMA streaming solver
+    (ops/csr_grid.py).  Writes the feasible candidates as
+    ``out_feasible_body_*.bin`` + ``body_feasible.npy`` (bool mask)."""
+    import jax
+    import jax.numpy as jnp
+
+    from legmov_tpu.models.robot import HEX_MOUNTS, QUAD_MOUNTS, make_robot
+    from legmov_tpu.models.leg import get_m2_leg, get_moonbot_leg
+    from legmov_tpu.ops.csr_grid import (ball_columns, build_csr_grid,
+                                         make_csr_dma_solver,
+                                         make_csr_solver, suggest_rounds)
+    from legmov_tpu.ops.grid import cell_size_for, neighbor_offsets
+
+    terrain = lio.load_points(os.path.join(args.dir, "numpy_input_t"))
+    body = lio.load_points(os.path.join(args.dir, "numpy_input_b"))
+    if terrain.shape[0] == 0 or body.shape[0] == 0:
+        raise SystemExit("no terrain/body candidates; run prepare first")
+    leg_fn = {"moonbot": get_moonbot_leg, "m2": get_m2_leg}[args.leg]
+    mounts = HEX_MOUNTS if args.legs == 6 else QUAD_MOUNTS
+    robot = make_robot(mounts, leg_fn=leg_fn)
+
+    reach = cell_size_for(robot)
+    cell = reach / args.subdiv
+    offs = neighbor_offsets(cell, reach)
+    csr = build_csr_grid(terrain, cell)
+    cols_np = ball_columns(np.asarray(offs))
+    cols = jnp.asarray(cols_np)
+    rounds = suggest_rounds(csr, cols_np, args.window)
+    interp = jax.devices()[0].platform == "cpu"
+    make_fn = make_csr_dma_solver if args.solver == "csr-dma" else \
+        make_csr_solver
+    solver = make_fn(robot, window=args.window, rounds=rounds,
+                     interpret=interp, decide="quorum")
+
+    P = body.shape[0]
+    chunk = min(args.pose_chunk, P)
+    ident = np.tile(np.asarray([1.0, 0, 0, 0], np.float32), (chunk, 1))
+    quats_d = jnp.asarray(ident)
+    feasible = np.zeros(P, bool)
+    t0 = time.perf_counter()
+    for lo in range(0, P, chunk):
+        hi = min(lo + chunk, P)
+        b = body[lo:hi]
+        if hi - lo < chunk:  # pad the tail: one compiled shape total
+            b = np.concatenate(
+                [b, np.full((chunk - (hi - lo), 3), 1e9, np.float32)]
+            )
+        _, quorum, _ = solver(
+            jnp.asarray(b), quats_d, csr.xs, csr.ys, csr.zs, csr.starts,
+            csr.origin, cols, cell_size=csr.cell_size, k=args.k,
+            dims=csr.dims,
+        )
+        feasible[lo:hi] = np.asarray(quorum)[: hi - lo]
+    dt = time.perf_counter() - t0
+
+    lio.save_points(body[feasible],
+                    os.path.join(args.dir, "out_feasible_body_"))
+    np.save(os.path.join(args.dir, "body_feasible.npy"), feasible)
+    print(json.dumps({
+        "body_candidates": int(P),
+        "feasible": int(feasible.sum()),
+        "terrain_points": int(terrain.shape[0]),
+        "legs": args.legs,
+        "k": args.k,
+        "seconds": round(dt, 3),
+        "poses_per_s": round(P / max(dt, 1e-9), 1),
+    }))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(prog="legmov_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -237,6 +316,24 @@ def main() -> None:
         "per-leg = each leg may use its own foothold",
     )
     p.set_defaults(fn=cmd_solve)
+
+    p = sub.add_parser(
+        "map", help="flat body-pose feasibility map (CSR streaming solve)"
+    )
+    p.add_argument("--dir", default="data")
+    p.add_argument("--leg", choices=LEGS, default="m2")
+    p.add_argument("--legs", type=int, choices=(4, 6), default=4,
+                   help="mount count (4 = quad like the reference robot)")
+    p.add_argument("--k", type=int, default=4,
+                   help="legs-for-stability quorum (settings.h:46)")
+    p.add_argument("--subdiv", type=int, default=2,
+                   help="grid cells per leg reach")
+    p.add_argument("--window", type=int, default=2048,
+                   help="CSR candidate window (multiple of 128)")
+    p.add_argument("--pose-chunk", type=int, default=2048)
+    p.add_argument("--solver", choices=("csr-dma", "csr"),
+                   default="csr-dma")
+    p.set_defaults(fn=cmd_map)
 
     args = ap.parse_args()
     args.fn(args)

@@ -47,3 +47,29 @@ def test_pipeline_end_to_end(tmp_path):
     assert os.path.exists(os.path.join(tmp, "data", "reachability_result.png"))
     assert os.path.exists(os.path.join(tmp, "data", "distance_result.png"))
     assert os.path.exists(os.path.join(tmp, "data", "leg0_reach.npy"))
+
+
+@pytest.mark.slow
+def test_map_feasibility(tmp_path):
+    tmp = str(tmp_path)
+    r = run_cli(tmp, "prepare", "--pix-size", "40", "--voxel", "800")
+    assert r.returncode == 0, r.stderr
+
+    r = run_cli(
+        tmp, "map", "--legs", "4", "--k", "3", "--window", "256",
+        "--pose-chunk", "64",
+    )
+    assert r.returncode == 0, r.stderr
+    import json
+
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["body_candidates"] > 0
+    # some hovering candidates are feasible, grounded/high ones are not
+    assert 0 < stats["feasible"] < stats["body_candidates"]
+
+    mask = np.load(os.path.join(tmp, "data", "body_feasible.npy"))
+    assert mask.sum() == stats["feasible"]
+    fx = np.fromfile(
+        os.path.join(tmp, "data", "out_feasible_body_x.bin"), np.float32
+    )
+    assert fx.shape[0] == stats["feasible"]
