@@ -134,3 +134,45 @@ def test_sharded_csr_positionable_matches(mesh, rng=np.random.default_rng(12)):
         mesh, solver, cols, csr.cell_size, csr.dims, k=3
     )(body, quats, *args)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_sharded_csr_dma_positionable_matches(
+    mesh, rng=np.random.default_rng(13)
+):
+    """The in-kernel DMA streaming solver under shard_map must also be a
+    pure refactoring of the single-device result (interpret mode)."""
+    from legmov_tpu.ops.csr_grid import (
+        ball_columns,
+        build_csr_grid,
+        make_csr_dma_solver,
+    )
+    from legmov_tpu.ops.grid import cell_size_for, neighbor_offsets
+    from legmov_tpu.parallel import sharded_csr_positionable
+    from legmov_tpu.terrain import flat_grid
+
+    robot = get_m2_robot()
+    reach = cell_size_for(robot)
+    cell = reach / 2
+    fh = flat_grid((-1200, 1201), (-1200, 1201), 120.0, z=-130.0)
+    csr = build_csr_grid(fh, cell)
+    cols = jnp.asarray(ball_columns(neighbor_offsets(cell, reach)))
+    P = 64
+    body = jnp.asarray(
+        (rng.uniform(-300, 300, (P, 3)) * [1, 1, 0.3]).astype(np.float32)
+    )
+    rpy = rng.uniform(-0.2, 0.2, (P, 3)).astype(np.float32)
+    quats = quat.from_rpy(rpy[:, 0], rpy[:, 1], rpy[:, 2])
+
+    solver = make_csr_dma_solver(
+        robot, window=256, interpret=True, rounds=((2, 1.0), (0, 0.25)),
+        super_step=4,
+    )
+    args = (csr.xs, csr.ys, csr.zs, csr.starts, csr.origin)
+    _, want, _ = solver(
+        body, quats, *args, cols, cell_size=csr.cell_size, k=3,
+        dims=csr.dims,
+    )
+    got = sharded_csr_positionable(
+        mesh, solver, cols, csr.cell_size, csr.dims, k=3
+    )(body, quats, *args)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
