@@ -103,7 +103,7 @@ def _coxa_frame(x_ref, y_ref, z_ref, ws):
     return x, py, z
 
 
-def make_reachability_kernel(leg: LegDimensions, block_rows: int = 256,
+def make_reachability_kernel(leg: LegDimensions, block_rows: int = 128,
                              interpret: bool = False,
                              parallel: bool = False):
     """Jitted ``[N, 3] float32 -> [N] bool`` Pallas evaluator for ``leg``.
@@ -111,7 +111,9 @@ def make_reachability_kernel(leg: LegDimensions, block_rows: int = 256,
     Semantics of ops/reachability.py ``reachability_xyz`` with the leg's
     workspace baked in as immediates.  ``parallel=True`` marks the grid
     dimension ``parallel`` for Mosaic (tools/reach_kernel_probe.py
-    measures whether that helps on the target chip).
+    measures whether that helps on the target chip).  The 128-row
+    default block won the on-chip config probe twice (0.055/0.062 ns/pt
+    vs 0.071 for the previous 256-row default at 16.7M points).
     """
     ws = _concrete_ws(leg)
     coxa_length = float(ws.coxa_length)
