@@ -197,7 +197,12 @@ def suggest_rounds(
     occ = per_xy[per_xy > 0]
     len_col = float(np.quantile(occ, quantile)) if occ.size else 0.0
     chunks = max(1, int(np.ceil(len_col / window)))
-    q = max(8, int(np.asarray(columns).shape[0]) * chunks)
+    q = max(16, int(np.asarray(columns).shape[0]) * chunks)
+    # quantize to the next power of two: every distinct schedule is a
+    # distinct compiled program (round quotas are static shapes), so
+    # snapping to pow2 buckets lets terrains of similar density share
+    # the compile cache instead of each density minting a new program
+    q = 1 << int(np.ceil(np.log2(q)))
     return (
         (max(1, q // 16), 1.0),
         (max(1, q // 8), 0.5),
