@@ -212,7 +212,8 @@ def cmd_map(args) -> None:
     from legmov_tpu.models.leg import get_m2_leg, get_moonbot_leg
     from legmov_tpu.ops.csr_grid import (ball_columns, build_csr_grid,
                                          make_csr_dma_solver,
-                                         make_csr_solver, suggest_rounds)
+                                         make_csr_solver, suggest_rounds,
+                                         suggest_window)
     from legmov_tpu.ops.grid import cell_size_for, neighbor_offsets
 
     terrain = lio.load_points(os.path.join(args.dir, "numpy_input_t"))
@@ -229,11 +230,12 @@ def cmd_map(args) -> None:
     csr = build_csr_grid(terrain, cell)
     cols_np = ball_columns(np.asarray(offs))
     cols = jnp.asarray(cols_np)
-    rounds = suggest_rounds(csr, cols_np, args.window)
+    window = args.window or suggest_window(csr)
+    rounds = suggest_rounds(csr, cols_np, window)
     interp = jax.devices()[0].platform == "cpu"
     make_fn = make_csr_dma_solver if args.solver == "csr-dma" else \
         make_csr_solver
-    solver = make_fn(robot, window=args.window, rounds=rounds,
+    solver = make_fn(robot, window=window, rounds=rounds,
                      interpret=interp, decide="quorum")
 
     P = body.shape[0]
@@ -328,8 +330,9 @@ def main() -> None:
                    help="legs-for-stability quorum (settings.h:46)")
     p.add_argument("--subdiv", type=int, default=2,
                    help="grid cells per leg reach")
-    p.add_argument("--window", type=int, default=2048,
-                   help="CSR candidate window (multiple of 128)")
+    p.add_argument("--window", type=int, default=0,
+                   help="CSR candidate window (multiple of 128; "
+                   "0 = auto from column density)")
     p.add_argument("--pose-chunk", type=int, default=2048)
     p.add_argument("--solver", choices=("csr-dma", "csr"),
                    default="csr-dma")

@@ -129,11 +129,32 @@ def test_suggest_rounds_scales_with_density():
 
     sparse = suggest_rounds(grid_at(2_000), cols, window=256)
     dense = suggest_rounds(grid_at(200_000), cols, window=256)
-    tot = lambda r: sum(n for n, _ in r)
-    # 100x the points in the same extent -> a much larger schedule
-    assert tot(dense) > 10 * tot(sparse)
-    # schedule covers roughly a worst-case pose's queue (C x chunks)
-    assert tot(dense) >= C
-    # shape invariants: halving fractions, unbounded last round
-    assert [f for _, f in dense] == [1.0, 0.5, 0.25, 0.125, 0.0625]
-    assert dense[-1][0] == 0
+    # 100x the points in the same extent -> a longer compaction ladder
+    assert len(dense) > len(sparse)
+    # ladder shape: doubling quotas over halving fractions, small first
+    # full-pose round, unbounded straggler tail
+    for r in (sparse, dense):
+        assert r[0][1] == 1.0 and r[0][0] <= 16
+        assert all(b == 2 * a for (a, _), (b, _) in zip(r[:-2], r[1:-1]))
+        assert all(
+            fb == fa / 2 for (_, fa), (_, fb) in zip(r[:-1], r[1:])
+        )
+        assert r[-1][0] == 0
+
+
+def test_suggest_window_tracks_density():
+    from legmov_tpu.ops.csr_grid import build_csr_grid, suggest_window
+
+    rng = np.random.default_rng(1)
+
+    def grid_at(n):
+        pts = rng.uniform(0, 1000, (n, 3)).astype(np.float32)
+        return build_csr_grid(pts, 250.0)
+
+    lo = suggest_window(grid_at(2_000))
+    hi = suggest_window(grid_at(500_000))
+    assert lo < hi
+    for w in (lo, hi):
+        assert w % 128 == 0 and 1024 <= w <= 16384
+    # clamps apply at the extremes
+    assert suggest_window(grid_at(100)) == 1024

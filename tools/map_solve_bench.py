@@ -94,8 +94,9 @@ def main() -> None:
                     help="quorum = stop a pose once its quorum is decided "
                     "(quorum exact, per-leg bits best-effort); legs = "
                     "resolve every leg bit exactly")
-    ap.add_argument("--window", type=int, default=2048,
-                    help="CSR candidate window (multiple of 128)")
+    ap.add_argument("--window", type=int, default=0,
+                    help="CSR candidate window (multiple of 128; "
+                    "0 = auto from column density)")
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
@@ -130,6 +131,7 @@ def main() -> None:
             make_csr_dma_solver,
             make_csr_solver,
             suggest_rounds,
+            suggest_window,
         )
 
         t0 = time.perf_counter()
@@ -137,11 +139,14 @@ def main() -> None:
         t_grid = time.perf_counter() - t0
         cols_np = ball_columns(np.asarray(offs))
         cols = jnp.asarray(cols_np)
-        kw = dict(window=args.window, interpret=interp, decide=args.decide)
-        # density-aware schedule by default: the hand-tuned constants
-        # starve on dense grids, pushing work into the safety round
-        kw["rounds"] = rounds or suggest_rounds(csr, cols_np, args.window)
-        print(f"rounds schedule: {kw['rounds']}"
+        window = args.window or suggest_window(csr)
+        kw = dict(window=window, interpret=interp, decide=args.decide)
+        # density-aware window + schedule by default: hand-tuned
+        # constants starve on dense grids (safety-round churn) and
+        # waste lanes/steps on sparse ones
+        kw["rounds"] = rounds or suggest_rounds(csr, cols_np, window)
+        print(f"window={window}{' (auto)' if not args.window else ''} "
+              f"rounds schedule: {kw['rounds']}"
               f"{' (auto)' if not rounds else ''}", flush=True)
         make_fn = (make_csr_dma_solver if args.solver == "csr-dma"
                    else make_csr_solver)
@@ -150,7 +155,7 @@ def main() -> None:
         print(
             f"CSR grid: dims={csr.dims} {csr.xs.nbytes * 3 / 1e6:.0f} MB "
             f"device storage, {cols.shape[0]} ball columns, "
-            f"window={args.window}, built in {t_grid:.2f}s",
+            f"window={window}, built in {t_grid:.2f}s",
             flush=True,
         )
 
