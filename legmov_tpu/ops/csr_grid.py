@@ -185,17 +185,18 @@ def _column_occupancy(csr: "CSRGrid", quantile: float) -> float:
 
 def suggest_window(
     csr: "CSRGrid", quantile: float = 0.90,
-    lo: int = 1024, hi: int = 16384,
+    lo: int = 1024, hi: int = 8192,
 ) -> int:
     """Density-aware candidate window for the CSR solvers.
 
-    The optimal window tracks column occupancy: on the 10.24M-point moon
-    map (columns ~19k points) widening 2048 -> 4096 -> 8192 measured
-    7.0k -> 9.3k -> 11.5k poses/s on-chip (fewer grid steps, bigger
-    DMAs), while at 1M points (columns ~2k) a window much wider than a
-    column wastes kernel lanes on neighbor/sentinel over-fetch.  Pick
-    the column occupancy rounded to a power of two, clamped to
-    [lo, hi].
+    The optimal window tracks column occupancy up to a hard ceiling:
+    on the 10.24M-point moon map (columns ~20k points) widening
+    2048 -> 4096 -> 8192 measured 7.0k -> 9.3k -> 11.5k poses/s
+    on-chip (fewer grid steps, bigger DMAs) but 16384 collapsed to
+    4.8k (the [136, 128] scratch tiles blow past the VMEM pipelining
+    sweet spot), and at 1M points (columns ~2k) 4096 beat 2048
+    (32.9k vs 27.9k poses/s).  Pick the column occupancy rounded to a
+    power of two, clamped to [lo, hi] with the measured 8192 ceiling.
     """
     occ = max(1.0, _column_occupancy(csr, quantile))
     w = 1 << int(np.ceil(np.log2(occ)))
