@@ -47,7 +47,8 @@ from legmov_tpu.ops.pallas_multileg import (
     make_multileg_kernel,
     oriented_tables,
     table_width,
-    tile_leg_bits,
+    tile_one_leg_bit,
+    tile_unrotate,
 )
 from legmov_tpu.ops.solve_schedule import (
     make_undecided,
@@ -456,16 +457,22 @@ def make_csr_dma_solver(
     w_rows = w_fetch // _LANES  # scratch sublane rows (multiple of 8)
 
     def make_kernel(dead_row: int):
-        def kernel(starts_ref, tab_ref, legsin_ref,
+        del dead_row  # liveness rides in the mask operand now
+
+        def kernel(starts_ref, mask_ref, tab_ref, legsin_ref,
                    xs_ref, ys_ref, zs_ref, o_ref, sx, sy, sz, sems):
-            # starts_ref is an SMEM-BLOCKED input ([POSE_ROWS, S] per
-            # pose tile), NOT a scalar-prefetch operand: the whole
-            # [A, S] starts matrix in SMEM blows the 1 MB SMEM budget
+            # starts_ref/mask_ref are SMEM-BLOCKED inputs ([POSE_ROWS,
+            # S] per pose tile), NOT scalar-prefetch operands: the
+            # whole [A, S] matrices in SMEM blow the 1 MB SMEM budget
             # at production pose-chunk sizes (observed: s32[2048, 128]
             # = 1 MB), while a tile only ever reads its own rows.
-            # Dead (pose, step) chunks are encoded as start == dead_row
-            # (the sentinel region) and skipped per row — no separate
-            # liveness operand.
+            # mask_ref[row, s] is the bitmask of legs this chunk's
+            # column serves (relevant AND missing at queue-build time);
+            # 0 = dead chunk.  Per-leg predication is EXACT: relevance
+            # is a superset of reachability (a leg's reachable points
+            # lie inside its reach ball), so a leg absent from the mask
+            # cannot gain a bit from this chunk, and found legs are
+            # monotone.
             s = pl.program_id(1)
 
             @pl.when(s == 0)
@@ -475,8 +482,9 @@ def make_csr_dma_solver(
             comps = ((xs_ref, sx, 0), (ys_ref, sy, 1), (zs_ref, sz, 2))
             for row in range(POSE_ROWS):
                 st = starts_ref[row, s]  # row index
+                m = mask_ref[row, s]
 
-                @pl.when(st != dead_row)
+                @pl.when(m != 0)
                 def _start(st=st, row=row):
                     for src, dst, ci in comps:
                         pltpu.make_async_copy(
@@ -487,9 +495,10 @@ def make_csr_dma_solver(
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
             for row in range(POSE_ROWS):
                 st = starts_ref[row, s]
+                m = mask_ref[row, s]
 
-                @pl.when(st != dead_row)
-                def _finish(st=st, row=row):
+                @pl.when(m != 0)
+                def _finish(st=st, m=m, row=row):
                     for src, dst, ci in comps:
                         pltpu.make_async_copy(
                             src.at[pl.ds(st, w_rows), :], dst.at[row],
@@ -499,39 +508,42 @@ def make_csr_dma_solver(
                     def s_fn(i, _r=row):
                         return tab_ref[_r, i]
 
-                    bits = tile_leg_bits(
-                        None, sx[row], sy[row], sz[row], legs_const,
-                        s_fn=s_fn,
+                    vx, vy, vz = tile_unrotate(
+                        s_fn, sx[row], sy[row], sz[row]
                     )
-                    vec = None
-                    for l, b in enumerate(bits):
-                        # scalar any-hit, folded into lane l of the
-                        # row's output vector (multiply, not
-                        # where-on-bools)
-                        hit = (jnp.max(b.astype(jnp.float32)) > 0).astype(
-                            jnp.int32
-                        )
-                        contrib = (lane == l).astype(jnp.int32) * hit
-                        vec = contrib if vec is None else vec | contrib
-                    o_ref[row : row + 1, :] = (
-                        o_ref[row : row + 1, :] | vec
-                    )
+                    for l, c in enumerate(legs_const):
+                        # evaluate ONLY the legs this chunk serves
+                        @pl.when(((m >> l) & 1) != 0)
+                        def _leg(l=l, c=c):
+                            b = tile_one_leg_bit(s_fn, l, c, vx, vy, vz)
+                            # scalar any-hit, folded into lane l of the
+                            # row's output vector (multiply, not
+                            # where-on-bools)
+                            hit = (
+                                jnp.max(b.astype(jnp.float32)) > 0
+                            ).astype(jnp.int32)
+                            o_ref[row : row + 1, :] = o_ref[
+                                row : row + 1, :
+                            ] | ((lane == l).astype(jnp.int32) * hit)
 
         return kernel
 
-    def dma_round(tab_, legs_i32, starts_mat, dead_row, xs2, ys2, zs2):
+    def dma_round(tab_, legs_i32, starts_mat, mask_mat, dead_row,
+                  xs2, ys2, zs2):
         """One ``(tiles, steps)`` grid over a fixed queue chunk."""
         A, S = starts_mat.shape
+        smem_spec = pl.BlockSpec((POSE_ROWS, S), lambda t, s: (t, 0),
+                                 memory_space=pltpu.SMEM)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=(A // POSE_ROWS, S),
             in_specs=[
-                # per-tile SMEM block, full step axis (8*S ints; the
-                # whole [A, S] matrix as a prefetch operand exceeds the
-                # 1 MB SMEM budget, and Mosaic requires the last block
-                # dim to equal the array dim in SMEM)
-                pl.BlockSpec((POSE_ROWS, S), lambda t, s: (t, 0),
-                             memory_space=pltpu.SMEM),
+                # per-tile SMEM blocks, full step axis (8*S ints each;
+                # the whole [A, S] matrices as prefetch operands exceed
+                # the 1 MB SMEM budget, and Mosaic requires the last
+                # block dim to equal the array dim in SMEM)
+                smem_spec,
+                smem_spec,
                 pl.BlockSpec((POSE_ROWS, W), lambda t, s: (t, 0)),
                 pl.BlockSpec((POSE_ROWS, _LANES), lambda t, s: (t, 0)),
                 pl.BlockSpec(memory_space=pl.ANY),
@@ -553,7 +565,7 @@ def make_csr_dma_solver(
             out_shape=jax.ShapeDtypeStruct((A, _LANES), jnp.int32),
             grid_spec=grid_spec,
             interpret=interpret,
-        )(starts_mat, tab_, legs_i32, xs2, ys2, zs2)
+        )(starts_mat, mask_mat, tab_, legs_i32, xs2, ys2, zs2)
 
     @partial(jax.jit, static_argnames=("k", "dims", "cell_size"))
     def solve(
@@ -611,9 +623,13 @@ def make_csr_dma_solver(
         k_eff = jnp.int32(k if k else L)
         undecided = make_undecided(decide, k_eff)
 
-        def starts_for(cs_, cum, q0, S):
-            """[A, S] clamped CSR start ROW indices for chunks
-            q0 .. q0+S of each pose's queue (dead chunks = dead_row)."""
+        def starts_for(cs_, cum, legbits, q0, S):
+            """Per-(pose, chunk) CSR start ROW indices + leg bitmasks
+            for chunks q0 .. q0+S of each pose's queue.
+
+            ``legbits [A, C]`` is the bitmask of legs each column still
+            serves (relevant AND missing at queue-build time); dead
+            chunks get mask 0, which is the kernel's skip marker."""
             A = cs_.shape[0]
             q = q0 + jnp.arange(S, dtype=jnp.int32)[None, :]  # [1|A, S]
             q = jnp.broadcast_to(q, (A, S))
@@ -637,10 +653,13 @@ def make_csr_dma_solver(
             # [rows, 128] layout (multiples of 8 by construction); the
             # widened fetch keeps the nominal window covered and extra
             # points are real footholds (harmless by over-fetch).  Live
-            # starts can never alias dead_row: raw < F <= dead_elem, so
-            # the align-down lands strictly below the sentinel region.
+            # starts can never alias the sentinel region: raw < F <=
+            # dead_elem, so the align-down lands strictly below it.
             starts_mat = (starts_mat // _ALIGN) * (_ALIGN // _LANES)
-            return starts_mat
+            mask_mat = jnp.where(
+                live, jnp.take_along_axis(legbits, colc, 1), 0
+            ).astype(jnp.int32)
+            return starts_mat, mask_mat
 
         def legs_to_i32(legs_):
             A = legs_.shape[0]
@@ -652,11 +671,23 @@ def make_csr_dma_solver(
             want, cum = _column_queue(
                 cl_, rel_, legs_, scanned_, undecided, w32
             )
+            # bitmask of legs each wanted column still serves (the
+            # kernel evaluates only those — exact, since relevance is
+            # a superset of reachability and found legs are monotone)
+            need = rel_ & ~legs_[:, None, :] & want[:, :, None]
+            legbits = jnp.sum(
+                need.astype(jnp.int32)
+                * (1 << jnp.arange(L, dtype=jnp.int32))[None, None, :],
+                axis=-1,
+            )  # [A, C]
             legs_i = legs_to_i32(legs_)
             if n_windows:
-                starts_mat = starts_for(cs_, cum, jnp.int32(0), n_windows)
+                starts_mat, mask_mat = starts_for(
+                    cs_, cum, legbits, jnp.int32(0), n_windows
+                )
                 legs_i = dma_round(
-                    tab_, legs_i, starts_mat, dead_row, xs2, ys2, zs2
+                    tab_, legs_i, starts_mat, mask_mat, dead_row,
+                    xs2, ys2, zs2,
                 )
                 q_done = jnp.int32(n_windows)
             else:
@@ -667,9 +698,11 @@ def make_csr_dma_solver(
 
                 def step(c):
                     q0, li = c
-                    starts_mat = starts_for(cs_, cum, q0, super_step)
-                    li = dma_round(tab_, li, starts_mat, dead_row,
-                                   xs2, ys2, zs2)
+                    starts_mat, mask_mat = starts_for(
+                        cs_, cum, legbits, q0, super_step
+                    )
+                    li = dma_round(tab_, li, starts_mat, mask_mat,
+                                   dead_row, xs2, ys2, zs2)
                     return q0 + jnp.int32(super_step), li
 
                 q_done, legs_i = jax.lax.while_loop(

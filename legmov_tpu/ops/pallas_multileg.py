@@ -175,6 +175,26 @@ def leg_constants(robot: LegDimensions) -> list[dict]:
     return legs_const
 
 
+def tile_unrotate(s, x, y, z):
+    """Body-frame candidate coordinates, shared across legs: subtract
+    the body position and un-rotate by the body quaternion (conjugate
+    rotation).  ``s(i)`` is the per-pose scalar getter."""
+    rx = x - s(4)
+    ry = y - s(5)
+    rz = z - s(6)
+    w = s(0)
+    ux = -s(1)
+    uy = -s(2)
+    uz = -s(3)
+    tx = 2.0 * (uy * rz - uz * ry)
+    ty = 2.0 * (uz * rx - ux * rz)
+    tz = 2.0 * (ux * ry - uy * rx)
+    vx = rx + w * tx + (uy * tz - uz * ty)
+    vy = ry + w * ty + (uz * tx - ux * tz)
+    vz = rz + w * tz + (ux * ty - uy * tx)
+    return vx, vy, vz
+
+
 def tile_leg_bits(tab_ref, x, y, z, legs_const, s_fn=None):
     """Shared kernel body: per-leg any-candidate reachability bits for
     one pose tile.
@@ -196,124 +216,116 @@ def tile_leg_bits(tab_ref, x, y, z, legs_const, s_fn=None):
             return s_fn(i)
         return tab_ref[:, i : i + 1]  # [rows, 1] broadcastable scalar
 
-    # candidate position relative to the body, in the world frame
-    rx = x - s(4)
-    ry = y - s(5)
-    rz = z - s(6)
-    # un-rotate by the body quaternion (conjugate rotation)
-    w = s(0)
-    ux = -s(1)
-    uy = -s(2)
-    uz = -s(3)
-    tx = 2.0 * (uy * rz - uz * ry)
-    ty = 2.0 * (uz * rx - ux * rz)
-    tz = 2.0 * (ux * ry - uy * rx)
-    vx = rx + w * tx + (uy * tz - uz * ty)
-    vy = ry + w * ty + (uz * tx - ux * tz)
-    vz = rz + w * tz + (ux * ty - uy * tx)
+    vx, vy, vz = tile_unrotate(s, x, y, z)
+    return [
+        tile_one_leg_bit(s, l, c, vx, vy, vz)
+        for l, c in enumerate(legs_const)
+    ]
 
-    bits = []
-    for l, c in enumerate(legs_const):
-        off = _HDR + l * LEG_BLOCK
-        # yaw by -body_angle ("as if leg 0")
-        x0 = vx * c["ca"] - vy * c["sa"]
-        y0 = vx * c["sa"] + vy * c["ca"]
-        # coxa frame
-        px = x0 - c["body"]
-        x1 = px * c["cp"] - vz * c["sp"]
-        z1 = px * c["sp"] + vz * c["cp"]
-        y1 = y0
-        flip = jnp.signbit(x1)
-        fx = jnp.where(flip, -x1, x1)
-        fy = jnp.where(flip, -y1, y1)
-        coxa_invalid = None
-        if c["gt_possible"]:
-            coxa_invalid = (fy * c["cmax"][0] - fx * c["cmax"][1]) > 0
-        if c["lt_possible"]:
-            lt = (fy * c["cmin"][0] - fx * c["cmin"][1]) < 0
-            coxa_invalid = (
-                lt if coxa_invalid is None else coxa_invalid | lt
-            )
-        rho = jnp.sqrt(x1 * x1 + y1 * y1)
-        xp = jnp.where(flip, -rho, rho) - c["coxa_len"]
-        yp = z1
 
-        # region bits from per-pose scalars
-        nn = yp >= 0
-        mid_neg = s(off + _MID_NEG) > 0.5
-        crossm = (yp * s(off + _MID_DIR) - xp * s(off + _MID_DIR + 1)) > 0
-        upper = _bsel(nn, mid_neg | crossm, mid_neg & crossm)
-        sat_lo_neg = s(off + _SAT_NEG) > 0.5
-        sat_hi_neg = s(off + _SAT_NEG + 1) > 0.5
-        cross_lo = (
-            yp * s(off + _SAT_DIR) - xp * s(off + _SAT_DIR + 1)
-        ) > 0
-        cross_hi = (
-            yp * s(off + _SAT_DIR + 2) - xp * s(off + _SAT_DIR + 3)
-        ) > 0
-        gt_lo = _bsel(nn, sat_lo_neg | cross_lo, sat_lo_neg & cross_lo)
-        gt_hi = _bsel(nn, sat_hi_neg | cross_hi, sat_hi_neg & cross_hi)
-        ext = upper ^ _bsel(upper, gt_hi, gt_lo)
+def tile_one_leg_bit(s, l, c, vx, vy, vz):
+    """``[rows, 1]`` any-candidate reachability bit for leg ``l`` over
+    body-frame candidates (``tile_unrotate`` output).  ``c`` is the
+    leg's :func:`leg_constants` entry; ``s`` the per-pose scalar
+    getter."""
+    off = _HDR + l * LEG_BLOCK
+    # yaw by -body_angle ("as if leg 0")
+    x0 = vx * c["ca"] - vy * c["sa"]
+    y0 = vx * c["sa"] + vy * c["ca"]
+    # coxa frame
+    px = x0 - c["body"]
+    x1 = px * c["cp"] - vz * c["sp"]
+    z1 = px * c["sp"] + vz * c["cp"]
+    y1 = y0
+    flip = jnp.signbit(x1)
+    fx = jnp.where(flip, -x1, x1)
+    fy = jnp.where(flip, -y1, y1)
+    coxa_invalid = None
+    if c["gt_possible"]:
+        coxa_invalid = (fy * c["cmax"][0] - fx * c["cmax"][1]) > 0
+    if c["lt_possible"]:
+        lt = (fy * c["cmin"][0] - fx * c["cmin"][1]) < 0
+        coxa_invalid = (
+            lt if coxa_invalid is None else coxa_invalid | lt
+        )
+    rho = jnp.sqrt(x1 * x1 + y1 * y1)
+    xp = jnp.where(flip, -rho, rho) - c["coxa_len"]
+    yp = z1
 
-        # 6 unique circles once each (both validity polarities), then
-        # the four (region, ext) configurations as boolean algebra on
-        # the per-pose fal/falo construction bits — the slot tables'
-        # region logic (workspace.region_slots) re-evaluated per
-        # point-tile instead of storing 16 pre-selected slots
-        q2 = xp * xp + yp * yp
-        pos, neg = [], []
-        for u in range(6):
-            t = (
-                q2
-                + s(off + _AX + u) * xp
-                + s(off + _AY + u) * yp
-            )
-            inside = t <= s(off + _R2K + u)
-            near = (t < s(off + _HI2K + u)) & (
-                t > s(off + _LO2K + u)
-            )
-            pos.append(inside | near)
-            neg.append((~inside) | near)
-        b_fal_low = s(off + _FAL) > 0.5
-        b_fal_up = s(off + _FAL + 1) > 0.5
-        b_falo_low = s(off + _FAL + 2) > 0.5
-        b_falo_up = s(off + _FAL + 3) > 0.5
-        # lower region: [inner, fa_neg(att=!fal), excl(rep), wing]
-        excl0 = _bsel(b_falo_low, neg[_WP], neg[_FAP])
-        other0 = _bsel(b_fal_low, neg[_FAN], pos[_FAN])
-        wing0 = _bsel(b_fal_low, pos[_WN], neg[_WN])
-        base0 = neg[_INNER] & excl0
-        v00 = base0 & other0 & wing0
-        other0e = _bsel(b_fal_low, other0, pos[_OUTER])
-        wing0e = _bsel(b_fal_low, pos[_OUTER], wing0)
-        v01 = base0 & other0e & wing0e
-        # upper region: [inner, excl(rep), fa_pos(att=!fal), wing]
-        excl1 = _bsel(b_falo_up, neg[_WN], neg[_FAN])
-        other1 = _bsel(b_fal_up, neg[_FAP], pos[_FAP])
-        wing1 = _bsel(b_fal_up, pos[_WP], neg[_WP])
-        base1 = neg[_INNER] & excl1
-        v10 = base1 & other1 & wing1
-        other1e = _bsel(b_fal_up, other1, pos[_OUTER])
-        wing1e = _bsel(b_fal_up, pos[_OUTER], wing1)
-        v11 = base1 & other1e & wing1e
-        plane_ok = _bsel(
-            upper,
-            _bsel(ext, v11, v10),
-            _bsel(ext, v01, v00),
+    # region bits from per-pose scalars
+    nn = yp >= 0
+    mid_neg = s(off + _MID_NEG) > 0.5
+    crossm = (yp * s(off + _MID_DIR) - xp * s(off + _MID_DIR + 1)) > 0
+    upper = _bsel(nn, mid_neg | crossm, mid_neg & crossm)
+    sat_lo_neg = s(off + _SAT_NEG) > 0.5
+    sat_hi_neg = s(off + _SAT_NEG + 1) > 0.5
+    cross_lo = (
+        yp * s(off + _SAT_DIR) - xp * s(off + _SAT_DIR + 1)
+    ) > 0
+    cross_hi = (
+        yp * s(off + _SAT_DIR + 2) - xp * s(off + _SAT_DIR + 3)
+    ) > 0
+    gt_lo = _bsel(nn, sat_lo_neg | cross_lo, sat_lo_neg & cross_lo)
+    gt_hi = _bsel(nn, sat_hi_neg | cross_hi, sat_hi_neg & cross_hi)
+    ext = upper ^ _bsel(upper, gt_hi, gt_lo)
+
+    # 6 unique circles once each (both validity polarities), then
+    # the four (region, ext) configurations as boolean algebra on
+    # the per-pose fal/falo construction bits — the slot tables'
+    # region logic (workspace.region_slots) re-evaluated per
+    # point-tile instead of storing 16 pre-selected slots
+    q2 = xp * xp + yp * yp
+    pos, neg = [], []
+    for u in range(6):
+        t = (
+            q2
+            + s(off + _AX + u) * xp
+            + s(off + _AY + u) * yp
         )
-        reach = (
-            plane_ok
-            if coxa_invalid is None
-            else ~coxa_invalid & plane_ok
+        inside = t <= s(off + _R2K + u)
+        near = (t < s(off + _HI2K + u)) & (
+            t > s(off + _LO2K + u)
         )
-        # lane reduction in f32 (no i1 reductions / u8 casts on this
-        # Mosaic target)
-        any_l = (
-            jnp.max(reach.astype(jnp.float32), axis=1, keepdims=True)
-            > 0
-        )
-        bits.append(any_l)
-    return bits
+        pos.append(inside | near)
+        neg.append((~inside) | near)
+    b_fal_low = s(off + _FAL) > 0.5
+    b_fal_up = s(off + _FAL + 1) > 0.5
+    b_falo_low = s(off + _FAL + 2) > 0.5
+    b_falo_up = s(off + _FAL + 3) > 0.5
+    # lower region: [inner, fa_neg(att=!fal), excl(rep), wing]
+    excl0 = _bsel(b_falo_low, neg[_WP], neg[_FAP])
+    other0 = _bsel(b_fal_low, neg[_FAN], pos[_FAN])
+    wing0 = _bsel(b_fal_low, pos[_WN], neg[_WN])
+    base0 = neg[_INNER] & excl0
+    v00 = base0 & other0 & wing0
+    other0e = _bsel(b_fal_low, other0, pos[_OUTER])
+    wing0e = _bsel(b_fal_low, pos[_OUTER], wing0)
+    v01 = base0 & other0e & wing0e
+    # upper region: [inner, excl(rep), fa_pos(att=!fal), wing]
+    excl1 = _bsel(b_falo_up, neg[_WN], neg[_FAN])
+    other1 = _bsel(b_fal_up, neg[_FAP], pos[_FAP])
+    wing1 = _bsel(b_fal_up, pos[_WP], neg[_WP])
+    base1 = neg[_INNER] & excl1
+    v10 = base1 & other1 & wing1
+    other1e = _bsel(b_fal_up, other1, pos[_OUTER])
+    wing1e = _bsel(b_fal_up, pos[_OUTER], wing1)
+    v11 = base1 & other1e & wing1e
+    plane_ok = _bsel(
+        upper,
+        _bsel(ext, v11, v10),
+        _bsel(ext, v01, v00),
+    )
+    reach = (
+        plane_ok
+        if coxa_invalid is None
+        else ~coxa_invalid & plane_ok
+    )
+    # lane reduction in f32 (no i1 reductions / u8 casts on this
+    # Mosaic target)
+    return (
+        jnp.max(reach.astype(jnp.float32), axis=1, keepdims=True)
+        > 0
+    )
 
 
 def make_multileg_kernel(
