@@ -103,15 +103,24 @@ def clip_to_sphere(
     sphere surface.  Returns a modified copy.
     """
     pts = points.copy()
-    rel = pts - center
-    inside = np.linalg.norm(rel, axis=1) <= radius
-    sel = rel[inside]
-    xy = np.linalg.norm(sel[:, :2], axis=1)
-    z = sel[:, 2] if down else -sel[:, 2]
-    delta = np.sqrt(np.maximum(radius**2 - xy**2, 0.0)) + z
+    _clip_to_sphere_inplace(pts, center, radius, down)
+    return pts
+
+
+def _clip_to_sphere_inplace(pts, center, radius, down):
+    """In-place clip_to_sphere body — squared-distance forms (no
+    norm->square round trips, no [N, 3] temporaries, no output copy):
+    the sequential 54-sphere crater loop over a 65M-point grid is the
+    moon_ground hot path."""
+    dx = pts[:, 0] - center[0]
+    dy = pts[:, 1] - center[1]
+    dz = pts[:, 2] - center[2]
+    xy2 = dx * dx + dy * dy
+    inside = xy2 + dz * dz <= radius * radius
+    z = dz[inside] if down else -dz[inside]
+    delta = np.sqrt(np.maximum(radius**2 - xy2[inside], 0.0)) + z
     sign = 1.0 if down else -1.0
     pts[inside, 2] -= sign * delta
-    return pts
 
 
 def moon_ground(
@@ -140,18 +149,18 @@ def moon_ground(
     cr[:, 2] = cr[:, 2] * 300 - 400  # z in [-400, -100]
     cr[:, 3] = cr[:, 3] * 300 + 200  # radius in [200, 500]
     for row in cr:
-        ground = clip_to_sphere(ground, row[:3], row[3], down=row[2] > 0)
+        _clip_to_sphere_inplace(ground, row[:3], row[3], down=row[2] > 0)
 
-    ground = clip_to_sphere(  # big crater
+    _clip_to_sphere_inplace(  # big crater
         ground, np.array([-2000.0, -3000.0, 300.0]), 3000.0, down=True
     )
-    ground = clip_to_sphere(  # cliff
+    _clip_to_sphere_inplace(  # cliff
         ground, np.array([2000.0, 4000.0, -800.0]), 4000.0, down=False
     )
-    ground = clip_to_sphere(  # big rock
+    _clip_to_sphere_inplace(  # big rock
         ground, np.array([1500.0, 0.0, -150.0]), 1000.0, down=False
     )
-    ground = clip_to_sphere(  # small rock
+    _clip_to_sphere_inplace(  # small rock
         ground, np.array([1500.0, -1000.0, -150.0]), 700.0, down=False
     )
 
