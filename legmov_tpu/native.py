@@ -74,6 +74,16 @@ def _load():
     lib.aos_to_soa.argtypes = [f32p, ctypes.c_int64, f32p, f32p, f32p]
     lib.soa_to_aos.restype = None
     lib.soa_to_aos.argtypes = [f32p, f32p, f32p, ctypes.c_int64, f32p]
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    lib.moon_craters.restype = None
+    lib.moon_craters.argtypes = [
+        f64p, f64p, f64p, ctypes.c_int64, f64p, ctypes.c_int64,
+    ]
+    lib.perlin2d.restype = None
+    lib.perlin2d.argtypes = [
+        f64p, ctypes.c_int64, ctypes.c_int64, f64p, ctypes.c_int64,
+        ctypes.c_int64,
+    ]
     lib.num_threads.restype = ctypes.c_int
     _lib = lib
     return lib
@@ -196,4 +206,32 @@ def soa_to_aos(x: np.ndarray, y: np.ndarray, z: np.ndarray):
         np.ascontiguousarray(y, np.float32),
         np.ascontiguousarray(z, np.float32), n, out.reshape(-1),
     )
+    return out
+
+
+def moon_craters(z: np.ndarray, xs: np.ndarray, ys: np.ndarray,
+                 craters: np.ndarray) -> bool:
+    """In-place sequential sphere-clip deformations (terrain data-loader
+    hot path).  ``craters`` is ``[K, 5]`` float64 rows of
+    ``(cx, cy, cz, radius, down)``.  Returns False when the native
+    library is unavailable (caller falls back to the NumPy loop)."""
+    lib = _load()
+    if lib is None:
+        return False
+    cr = np.ascontiguousarray(craters, np.float64)
+    lib.moon_craters(z, xs, ys, z.shape[0], cr, cr.shape[0])
+    return True
+
+
+def perlin2d(shape, grad: np.ndarray):
+    """Perlin noise on a pixel grid from a precomputed gradient lattice
+    (``[r0 + 1, r1 + 1, 2]`` float64).  Returns None when the native
+    library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty(shape, np.float64)
+    g = np.ascontiguousarray(grad, np.float64)
+    lib.perlin2d(out, shape[0], shape[1], g, g.shape[0] - 1,
+                 g.shape[1] - 1)
     return out

@@ -148,21 +148,36 @@ def moon_ground(
     cr[:, 1] = cr[:, 1] * 4000 - 2000
     cr[:, 2] = cr[:, 2] * 300 - 400  # z in [-400, -100]
     cr[:, 3] = cr[:, 3] * 300 + 200  # radius in [200, 500]
-    for row in cr:
-        _clip_to_sphere_inplace(ground, row[:3], row[3], down=row[2] > 0)
+    # full sphere sequence: the random field + the four landmark
+    # features, rows of (cx, cy, cz, radius, down)
+    spheres = np.concatenate(
+        [
+            np.concatenate(
+                [cr, (cr[:, 2] > 0).astype(np.float64)[:, None]], axis=1
+            ),
+            np.asarray(
+                [
+                    [-2000.0, -3000.0, 300.0, 3000.0, 1.0],  # big crater
+                    [2000.0, 4000.0, -800.0, 4000.0, 0.0],  # cliff
+                    [1500.0, 0.0, -150.0, 1000.0, 0.0],  # big rock
+                    [1500.0, -1000.0, -150.0, 700.0, 0.0],  # small rock
+                ]
+            ),
+        ]
+    )
+    from legmov_tpu import native
 
-    _clip_to_sphere_inplace(  # big crater
-        ground, np.array([-2000.0, -3000.0, 300.0]), 3000.0, down=True
-    )
-    _clip_to_sphere_inplace(  # cliff
-        ground, np.array([2000.0, 4000.0, -800.0]), 4000.0, down=False
-    )
-    _clip_to_sphere_inplace(  # big rock
-        ground, np.array([1500.0, 0.0, -150.0]), 1000.0, down=False
-    )
-    _clip_to_sphere_inplace(  # small rock
-        ground, np.array([1500.0, -1000.0, -150.0]), 700.0, down=False
-    )
+    xcol = np.ascontiguousarray(ground[:, 0])
+    ycol = np.ascontiguousarray(ground[:, 1])
+    zcol = np.ascontiguousarray(ground[:, 2])
+    if native.moon_craters(zcol, xcol, ycol, spheres):
+        # native OpenMP data-loader path: parallel over points,
+        # sequential over spheres (each point's z evolves independently)
+        ground[:, 2] = zcol
+    else:
+        for row in spheres:
+            _clip_to_sphere_inplace(ground, row[:3], row[3],
+                                    down=row[4] > 0.5)
 
     coarse = fractal_noise_2d(
         shape, (8, 4), rng, octaves=5, persistence=0.35, lacunarity=2

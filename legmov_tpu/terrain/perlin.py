@@ -49,6 +49,15 @@ def perlin_noise_2d(
     if tileable[1]:
         grad[:, -1] = grad[:, 0]
 
+    # native OpenMP per-pixel path (same corner order/arithmetic; the
+    # RNG draws above stay in NumPy so terrains are reproducible across
+    # backends to FP-contraction tolerance)
+    from legmov_tpu import native
+
+    fast = native.perlin2d(shape, grad)
+    if fast is not None:
+        return fast
+
     # pixel -> owning lattice cell + fractional position inside it
     ii = np.arange(shape[0])
     jj = np.arange(shape[1])

@@ -161,6 +161,72 @@ void soa_to_aos(const float* x, const float* y, const float* z, int64_t n,
     }
 }
 
+// Sequential sphere-clip deformations (terrain/maps.py clip_to_sphere,
+// reference maps.py:173-185 clip2sphere): craters[k] = (cx, cy, cz, r,
+// down).  Each point's z evolves through the spheres in order, but
+// points are independent — parallel over points, sequential over
+// spheres, double math in the exact order of the NumPy loop.
+void moon_craters(double* z, const double* xs, const double* ys, int64_t n,
+                  const double* craters, int64_t n_craters) {
+#pragma omp parallel for
+    for (int64_t i = 0; i < n; i++) {
+        double zi = z[i];
+        const double xi = xs[i], yi = ys[i];
+        for (int64_t k = 0; k < n_craters; k++) {
+            const double* c = craters + k * 5;
+            const double dx = xi - c[0];
+            const double dy = yi - c[1];
+            const double dz = zi - c[2];
+            const double r = c[3];
+            const double xy2 = dx * dx + dy * dy;
+            if (xy2 + dz * dz <= r * r) {
+                const bool down = c[4] > 0.5;
+                const double zz = down ? dz : -dz;
+                double cap = r * r - xy2;
+                if (cap < 0.0) cap = 0.0;
+                const double delta = std::sqrt(cap) + zz;
+                zi -= down ? delta : -delta;
+            }
+        }
+        z[i] = zi;
+    }
+}
+
+// Perlin gradient noise on a pixel grid (terrain/perlin.py
+// perlin_noise_2d): grad is the (r0+1) x (r1+1) x 2 unit-gradient
+// lattice; out[nx, ny] gets the sqrt(2)-normalized 4-corner quintic
+// blend.  Corner accumulation order matches the NumPy loop
+// ((di, dj) = (0,0), (0,1), (1,0), (1,1)).
+void perlin2d(double* out, int64_t nx, int64_t ny, const double* grad,
+              int64_t r0, int64_t r1) {
+    const int64_t cell0 = nx / r0, cell1 = ny / r1;
+    const int64_t gy = r1 + 1;
+    const double root2 = std::sqrt(2.0);
+#pragma omp parallel for
+    for (int64_t i = 0; i < nx; i++) {
+        const int64_t i0 = i / cell0;
+        const double u = (double)(i % cell0) / (double)cell0;
+        const double fu = u * u * u * (u * (6.0 * u - 15.0) + 10.0);
+        for (int64_t j = 0; j < ny; j++) {
+            const int64_t j0 = j / cell1;
+            const double v = (double)(j % cell1) / (double)cell1;
+            const double fv = v * v * v * (v * (6.0 * v - 15.0) + 10.0);
+            double acc = 0.0;
+            for (int di = 0; di < 2; di++) {
+                const double wi = di ? fu : 1.0 - fu;
+                for (int dj = 0; dj < 2; dj++) {
+                    const double wj = dj ? fv : 1.0 - fv;
+                    const double* g =
+                        grad + ((i0 + di) * gy + (j0 + dj)) * 2;
+                    acc += wi * wj *
+                           (g[0] * (u - di) + g[1] * (v - dj));
+                }
+            }
+            out[i * ny + j] = root2 * acc;
+        }
+    }
+}
+
 int num_threads() {
 #if defined(_OPENMP)
     return omp_get_max_threads();
