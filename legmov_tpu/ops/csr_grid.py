@@ -236,7 +236,10 @@ def suggest_rounds(
     q = 1 << int(np.ceil(np.log2(q)))
     rounds = []
     quota, frac, done = first, 1.0, 0
-    while done + quota < q and frac > 1.0 / 64.0:
+    # fraction floor 1/256: at 65M points (q=1024) a 1/64 floor cut the
+    # ladder at 504 scheduled chunks and starved ~600-chunk stragglers
+    # into the (uncompacted) safety round
+    while done + quota < q and frac > 1.0 / 256.0:
         rounds.append((quota, frac))
         done += quota
         quota *= 2
