@@ -476,45 +476,24 @@ def make_csr_dma_solver(
             # lie inside its reach ball), so a leg absent from the mask
             # cannot gain a bit from this chunk, and found legs are
             # monotone.
-            #
-            # Candidate windows are DOUBLE-BUFFERED across grid steps:
-            # scratch leads with a parity axis, step s starts step
-            # s+1's copies into parity (s+1) % 2 before evaluating its
-            # own parity-s buffer, so the HBM fetch of the next window
-            # overlaps this window's circle evaluation.  Buffer reuse
-            # is safe because grid steps execute sequentially per core:
-            # parity p's previous reader was step s-1.
             s = pl.program_id(1)
-            S = pl.num_programs(1)
-            par = s % 2
 
             @pl.when(s == 0)
             def _init():
                 o_ref[...] = legsin_ref[...]
 
             comps = ((xs_ref, sx, 0), (ys_ref, sy, 1), (zs_ref, sz, 2))
+            for row in range(POSE_ROWS):
+                st = starts_ref[row, s]  # row index
+                m = mask_ref[row, s]
 
-            def start_copies(step, parity):
-                for row in range(POSE_ROWS):
-                    st = starts_ref[row, step]
-                    m = mask_ref[row, step]
-
-                    @pl.when(m != 0)
-                    def _start(st=st, row=row):
-                        for src, dst, ci in comps:
-                            pltpu.make_async_copy(
-                                src.at[pl.ds(st, w_rows), :],
-                                dst.at[parity, row],
-                                sems.at[ci, row, parity],
-                            ).start()
-
-            @pl.when(s == 0)
-            def _prologue():
-                start_copies(jnp.int32(0), jnp.int32(0))
-
-            @pl.when(s + 1 < S)
-            def _prefetch_next():
-                start_copies(s + 1, (s + 1) % 2)
+                @pl.when(m != 0)
+                def _start(st=st, row=row):
+                    for src, dst, ci in comps:
+                        pltpu.make_async_copy(
+                            src.at[pl.ds(st, w_rows), :], dst.at[row],
+                            sems.at[ci, row],
+                        ).start()
 
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
             for row in range(POSE_ROWS):
@@ -525,16 +504,15 @@ def make_csr_dma_solver(
                 def _finish(st=st, m=m, row=row):
                     for src, dst, ci in comps:
                         pltpu.make_async_copy(
-                            src.at[pl.ds(st, w_rows), :],
-                            dst.at[par, row],
-                            sems.at[ci, row, par],
+                            src.at[pl.ds(st, w_rows), :], dst.at[row],
+                            sems.at[ci, row],
                         ).wait()
 
                     def s_fn(i, _r=row):
                         return tab_ref[_r, i]
 
                     vx, vy, vz = tile_unrotate(
-                        s_fn, sx[par, row], sy[par, row], sz[par, row]
+                        s_fn, sx[row], sy[row], sz[row]
                     )
                     for l, c in enumerate(legs_const):
                         # evaluate ONLY the legs this chunk serves
@@ -579,10 +557,10 @@ def make_csr_dma_solver(
                 (POSE_ROWS, _LANES), lambda t, s: (t, 0)
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, POSE_ROWS, w_rows, _LANES), jnp.float32),
-                pltpu.VMEM((2, POSE_ROWS, w_rows, _LANES), jnp.float32),
-                pltpu.VMEM((2, POSE_ROWS, w_rows, _LANES), jnp.float32),
-                pltpu.SemaphoreType.DMA((3, POSE_ROWS, 2)),
+                pltpu.VMEM((POSE_ROWS, w_rows, _LANES), jnp.float32),
+                pltpu.VMEM((POSE_ROWS, w_rows, _LANES), jnp.float32),
+                pltpu.VMEM((POSE_ROWS, w_rows, _LANES), jnp.float32),
+                pltpu.SemaphoreType.DMA((3, POSE_ROWS)),
             ],
         )
         return pl.pallas_call(
