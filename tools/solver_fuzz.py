@@ -63,7 +63,17 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--trials", type=int, default=20)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--device", choices=("cpu", "default"), default="cpu",
+                    help="cpu (default) forces the CPU backend — the "
+                    "kernels run in interpret mode either way, and an "
+                    "accidental TPU client from a fuzz loop can wedge "
+                    "the shared relay; 'default' keeps the session "
+                    "backend (XLA scheduling/gather paths on-device)")
     args = ap.parse_args()
+    if args.device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     bad = 0
     for trial in range(args.trials):
