@@ -194,3 +194,40 @@ def full_positionability(
     return PipelineResult(
         valid=valid, alive=alive_all, quats=np.asarray(orientations)
     )
+
+
+def multirot_positionable(solve_fn, body, orientations=None):
+    """Any-orientation body feasibility at map scale.
+
+    The reference's ``multi_rot_estimator`` (several_leg.cu:787-877)
+    re-runs the elimination pipeline once per orientation of the 3x3x5
+    sweep; a body sample is kept if ANY orientation stands.  This is
+    that loop for the streaming solvers: ``solve_fn(body [P, 3],
+    quats [P, 4]) -> quorum [P] bool`` is a bound single-orientation
+    solver (e.g. ops/csr_grid.make_csr_dma_solver with its grid args
+    closed over via functools.partial-style wrappers — the CSR arrays
+    themselves must still be jit ARGUMENTS inside solve_fn).
+
+    Early exit without recompiles: poses already proven feasible are
+    moved to the far sentinel before the next orientation, which empties
+    their reach-ball relevance — the early-exit solvers then skip them
+    at queue-build cost only, so every orientation reuses ONE compiled
+    shape.  Returns ``(feasible [P] bool, n_solved_per_round list)``.
+    """
+    if orientations is None:
+        orientations = sweep_orientations()
+    ors = np.asarray(orientations, np.float32)
+    body_work = np.array(body, np.float32, copy=True)
+    P = body_work.shape[0]
+    feasible = np.zeros(P, bool)
+    per_round = []
+    for r in range(ors.shape[0]):
+        quats = jnp.asarray(np.tile(ors[r], (P, 1)))
+        quorum = np.asarray(solve_fn(jnp.asarray(body_work), quats))
+        newly = quorum & ~feasible
+        feasible |= newly
+        per_round.append(int(newly.sum()))
+        if feasible.all():
+            break
+        body_work[feasible] = 1e9  # decided poses drop out of relevance
+    return feasible, per_round

@@ -78,3 +78,52 @@ def test_orientation_sweep_superset():
     sweep = full_positionability(body, fh, robot, k=4)
     if ident.valid.any():
         assert sweep.any_orientation()[0]
+
+
+def test_multirot_positionable_matches_bruteforce():
+    """The far-sentinel early-exit multirot driver must equal a plain OR
+    over per-orientation solves (no pose lost or double-counted)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from legmov_tpu.models.pipeline import (multirot_positionable,
+                                            sweep_orientations)
+    from legmov_tpu.models.robot import QUAD_MOUNTS, make_robot
+    from legmov_tpu.ops.csr_grid import (ball_columns, build_csr_grid,
+                                         make_csr_solver)
+    from legmov_tpu.ops.grid import cell_size_for, neighbor_offsets
+    from legmov_tpu.terrain import flat_grid
+
+    robot = make_robot(QUAD_MOUNTS)
+    reach = cell_size_for(robot)
+    cell = reach / 2
+    fh = flat_grid((-900, 901), (-900, 901), 140.0, z=-130.0)
+    csr = build_csr_grid(fh, cell)
+    cols = jnp.asarray(ball_columns(neighbor_offsets(cell, reach)))
+    solver = make_csr_solver(robot, window=256, interpret=True,
+                             rounds=((4, 1.0), (0, 0.5)))
+    rng = np.random.default_rng(21)
+    P = 24
+    body = np.stack(
+        [rng.uniform(-500, 500, P), rng.uniform(-500, 500, P),
+         rng.uniform(-40, 120, P)], -1,
+    ).astype(np.float32)
+
+    def solve_fn(b, q):
+        _, quorum, _ = solver(
+            b, q, csr.xs, csr.ys, csr.zs, csr.starts, csr.origin, cols,
+            cell_size=csr.cell_size, k=3, dims=csr.dims,
+        )
+        return quorum
+
+    # small sweep to keep interpret-mode time down
+    ors = sweep_orientations((-0.3, 0.3, 2), (-0.3, 0.3, 2), (0.0, 0.5, 2))
+    got, per_round = multirot_positionable(solve_fn, body, ors)
+
+    want = np.zeros(P, bool)
+    for r in range(np.asarray(ors).shape[0]):
+        q = jnp.asarray(np.tile(np.asarray(ors)[r], (P, 1)))
+        want |= np.asarray(solve_fn(jnp.asarray(body), q))
+
+    np.testing.assert_array_equal(got, want)
+    assert sum(per_round) == int(want.sum())

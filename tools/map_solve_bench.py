@@ -99,6 +99,10 @@ def main() -> None:
                     "0 = auto from column density)")
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--rot-sweep", action="store_true",
+                    help="any-orientation feasibility over the 3x3x5 "
+                    "orientation sweep (the reference multi_rot_estimator "
+                    "workload; csr solvers only)")
     args = ap.parse_args()
 
     mounts = HEX_MOUNTS if args.legs == 6 else QUAD_MOUNTS
@@ -158,6 +162,48 @@ def main() -> None:
             f"window={window}, built in {t_grid:.2f}s",
             flush=True,
         )
+
+        if args.rot_sweep:
+            from legmov_tpu.models.pipeline import (multirot_positionable,
+                                                    sweep_orientations)
+
+            def solve_fn(b, q):
+                _, quorum, _ = csr_solver(
+                    b, q, *csr_args, cell_size=csr.cell_size, k=k,
+                    dims=csr.dims,
+                )
+                return quorum
+
+            ors = sweep_orientations()
+            body_np = np.asarray(body[:n_chunk])
+            # warm/compile with the first orientation
+            np.asarray(solve_fn(
+                jnp.asarray(body_np),
+                jnp.asarray(np.tile(np.asarray(ors)[0], (n_chunk, 1))),
+            ))
+            t0 = time.perf_counter()
+            feasible, per_round = multirot_positionable(
+                solve_fn, body_np, ors
+            )
+            dt = time.perf_counter() - t0
+            print(json.dumps({
+                "metric": "multirot_positionability_poses_per_s",
+                "value": round(n_chunk / dt, 1),
+                "unit": "poses/s/chip",
+                "terrain_points": int(terrain.shape[0]),
+                "poses_timed": n_chunk,
+                "legs": args.legs,
+                "quorum": k,
+                "orientations": int(np.asarray(ors).shape[0]),
+                "rounds_used": len(per_round),
+                "feasible_any_orientation": int(feasible.sum()),
+                "newly_per_round_head": per_round[:5],
+                "sweep_s": round(dt, 3),
+                "device": jax.devices()[0].platform,
+                "impl": ("pallas-csr-dma" if args.solver == "csr-dma"
+                         else "pallas-csr-window"),
+            }))
+            return
 
         from functools import partial
 
