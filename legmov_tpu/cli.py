@@ -240,8 +240,6 @@ def cmd_map(args) -> None:
 
     P = body.shape[0]
     chunk = min(args.pose_chunk, P)
-    ident = np.tile(np.asarray([1.0, 0, 0, 0], np.float32), (chunk, 1))
-    quats_d = jnp.asarray(ident)
     feasible = np.zeros(P, bool)
     t0 = time.perf_counter()
     for lo in range(0, P, chunk):
@@ -251,12 +249,29 @@ def cmd_map(args) -> None:
             b = np.concatenate(
                 [b, np.full((chunk - (hi - lo), 3), 1e9, np.float32)]
             )
-        _, quorum, _ = solver(
-            jnp.asarray(b), quats_d, csr.xs, csr.ys, csr.zs, csr.starts,
-            csr.origin, cols, cell_size=csr.cell_size, k=args.k,
-            dims=csr.dims,
-        )
-        feasible[lo:hi] = np.asarray(quorum)[: hi - lo]
+        if args.rot_sweep:
+            from legmov_tpu.models.pipeline import multirot_positionable
+
+            def solve_fn(bb, qq):
+                _, quorum, _ = solver(
+                    bb, qq, csr.xs, csr.ys, csr.zs, csr.starts,
+                    csr.origin, cols, cell_size=csr.cell_size, k=args.k,
+                    dims=csr.dims,
+                )
+                return quorum
+
+            got, _ = multirot_positionable(solve_fn, b)
+        else:
+            ident = np.tile(
+                np.asarray([1.0, 0, 0, 0], np.float32), (chunk, 1)
+            )
+            _, quorum, _ = solver(
+                jnp.asarray(b), jnp.asarray(ident), csr.xs, csr.ys,
+                csr.zs, csr.starts, csr.origin, cols,
+                cell_size=csr.cell_size, k=args.k, dims=csr.dims,
+            )
+            got = np.asarray(quorum)
+        feasible[lo:hi] = got[: hi - lo]
     dt = time.perf_counter() - t0
 
     lio.save_points(body[feasible],
@@ -268,6 +283,7 @@ def cmd_map(args) -> None:
         "terrain_points": int(terrain.shape[0]),
         "legs": args.legs,
         "k": args.k,
+        "orientations": 45 if args.rot_sweep else 1,
         "seconds": round(dt, 3),
         "poses_per_s": round(P / max(dt, 1e-9), 1),
     }))
@@ -336,6 +352,10 @@ def main() -> None:
     p.add_argument("--pose-chunk", type=int, default=2048)
     p.add_argument("--solver", choices=("csr-dma", "csr"),
                    default="csr-dma")
+    p.add_argument("--rot-sweep", action="store_true",
+                   help="accept a candidate if ANY of the 3x3x5 "
+                   "orientation sweep stands (multi_rot_estimator "
+                   "semantics) instead of identity orientation only")
     p.set_defaults(fn=cmd_map)
 
     args = ap.parse_args()
