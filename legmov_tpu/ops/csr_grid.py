@@ -61,7 +61,8 @@ _LANES = 128
 
 
 def _pose_columns(
-    body, quats, starts, origin, columns, cs, dims, mount_vec, reach_l
+    body, quats, starts, origin, columns, cs, dims, mount_vec, reach_l,
+    with_zclip: bool = False,
 ):
     """Per-(pose, column) CSR ranges + per-(pose, column, leg) relevance.
 
@@ -69,6 +70,16 @@ def _pose_columns(
     ``rel`` is the exact leg-reach-ball vs column-AABB test (a column is
     relevant to leg l iff the ball around the pose's rotated mount point
     intersects the column's clamped box) AND the column is non-empty.
+
+    With ``with_zclip`` a fourth element is returned for per-round
+    z-subrange clipping: ``(colflat [P, C], zlo [P, C], zhi [P, C],
+    dxy2 [P, C, L], cz [P, L])`` — the column's flat cell base
+    (z index 0), its ball-clipped z-cell bounds, each leg's squared
+    horizontal distance to the column's xy-AABB, and each leg's ball
+    center z (body-relative).  A leg's reachable z-range inside a
+    column is ``cz ± sqrt(reach² - dxy2)`` (exact superset of its
+    reachable footholds there), so a chunk queued for specific missing
+    legs may clip the column slice to the union of their z-ranges.
     """
     from legmov_tpu.ops import quaternion as _quat
 
@@ -112,7 +123,14 @@ def _pose_columns(
     d2 = jnp.sum((nearest - centers[:, None, :, :]) ** 2, -1)
     rel = (d2 <= jnp.asarray(reach_l, jnp.float32)[None, None, :] ** 2)
     rel &= (col_len > 0)[:, :, None]  # [P, C, L]
-    return col_start, col_len, rel
+    if not with_zclip:
+        return col_start, col_len, rel
+    dxy2 = jnp.sum(
+        (nearest[..., :2] - centers[:, None, :, :2]) ** 2, -1
+    )  # [P, C, L]
+    colflat = (cxc * ny + cyc) * nz  # [P, C] z-index-0 cell base
+    return col_start, col_len, rel, (colflat, zlo, zhi, dxy2,
+                                     centers[:, :, 2])
 
 
 class CSRGrid(NamedTuple):
@@ -617,14 +635,52 @@ def make_csr_dma_solver(
         # dead-chunk sentinel start (skip marker)
 
         cs = jnp.float32(cell_size)
-        col_start, col_len, rel = _pose_columns(
+        col_start, col_len, rel, zclip = _pose_columns(
             body, quats, starts, origin, columns, cs, dims, mount_vec,
-            reach_l,
+            reach_l, with_zclip=True,
         )
+        colflat, col_zlo, col_zhi, dxy2, cz = zclip
+        cz_abs = body[:, 2:3] + cz  # [P, L] absolute ball-center z
+        reach2 = jnp.asarray(reach_l, jnp.float32)[None, None, :] ** 2
+        oz = origin[2]
         tab = oriented_tables(body, quats, robot)
         w32 = jnp.int32(window)
         k_eff = jnp.int32(k if k else L)
         undecided = make_undecided(decide, k_eff)
+
+        def clipped_slices(colflat_, zlo_, zhi_, dxy2_, cza_, need):
+            """Per-(pose, column) CSR (start, len) clipped to the union
+            z-range of the legs in ``need`` [A, C, L].
+
+            Exact superset: leg l's reachable footholds in a column lie
+            within ``cz ± sqrt(reach² - dxy2)`` (its ball's z-chord at
+            the column's horizontal distance), so clipping the slice to
+            the union over still-needed legs can only drop points no
+            needed leg could reach.  The union only narrows as legs are
+            found (monotone), so marking a clipped column scanned stays
+            valid for later rounds."""
+            dz = jnp.sqrt(jnp.maximum(reach2 - dxy2_, 0.0))
+            any_need = jnp.any(need, -1)
+            neg = jnp.float32(-3e38)
+            zlo_u = -jnp.max(
+                jnp.where(need, -(cza_[:, None, :] - dz), neg), -1
+            )
+            zhi_u = jnp.max(jnp.where(need, cza_[:, None, :] + dz, neg),
+                            -1)
+            zlo_u = jnp.where(any_need, zlo_u, 0.0)
+            zhi_u = jnp.where(any_need, zhi_u, -1.0)
+            zl = jnp.maximum(
+                jnp.floor((zlo_u - oz) / cs).astype(jnp.int32), zlo_
+            )
+            zh = jnp.minimum(
+                jnp.floor((zhi_u - oz) / cs).astype(jnp.int32), zhi_
+            )
+            ok = any_need & (zh >= zl)
+            zlc = jnp.clip(zl, 0, jnp.int32(dims[2] - 1))
+            zhc = jnp.clip(zh, 0, jnp.int32(dims[2] - 1))
+            st = starts[colflat_ + zlc]
+            ln = jnp.where(ok, starts[colflat_ + zhc + 1] - st, 0)
+            return st, ln
 
         def starts_for(cs_, cum, legbits, q0, S):
             """Per-(pose, chunk) CSR start ROW indices + leg bitmasks
@@ -670,14 +726,18 @@ def make_csr_dma_solver(
             return out.at[:, :L].set(legs_.astype(jnp.int32))
 
         def run_round(per_pose, rel_, legs_, scanned_, n_windows):
-            tab_, cs_, cl_ = per_pose
+            (tab_, colflat_, zlo_, zhi_, dxy2_, cza_) = per_pose
+            # legs each column still serves, and the column slice
+            # clipped to their union z-range (both exact: relevance is
+            # a superset of reachability, found legs are monotone)
+            need0 = rel_ & ~legs_[:, None, :]
+            cs_, cl_ = clipped_slices(
+                colflat_, zlo_, zhi_, dxy2_, cza_, need0
+            )
             want, cum = _column_queue(
                 cl_, rel_, legs_, scanned_, undecided, w32
             )
-            # bitmask of legs each wanted column still serves (the
-            # kernel evaluates only those — exact, since relevance is
-            # a superset of reachability and found legs are monotone)
-            need = rel_ & ~legs_[:, None, :] & want[:, :, None]
+            need = need0 & want[:, :, None]
             legbits = jnp.sum(
                 need.astype(jnp.int32)
                 * (1 << jnp.arange(L, dtype=jnp.int32))[None, None, :],
@@ -717,7 +777,7 @@ def make_csr_dma_solver(
 
         legs, scanned, over_quota = run_schedule(
             tuple(rounds) + ((0, 1.0),),  # full-width safety round
-            (tab, col_start, col_len), rel,
+            (tab, colflat, col_zlo, col_zhi, dxy2, cz_abs), rel,
             jnp.zeros((P, L), bool), jnp.zeros((P, C), bool),
             undecided, run_round,
         )
