@@ -213,7 +213,7 @@ def cmd_map(args) -> None:
     from legmov_tpu.ops.csr_grid import (ball_columns, build_csr_grid,
                                          make_csr_dma_solver,
                                          make_csr_solver, suggest_rounds,
-                                         suggest_window)
+                                         suggest_window, suggest_zclip)
     from legmov_tpu.ops.grid import cell_size_for, neighbor_offsets
 
     terrain = lio.load_points(os.path.join(args.dir, "numpy_input_t"))
@@ -233,10 +233,14 @@ def cmd_map(args) -> None:
     window = args.window or suggest_window(csr)
     rounds = suggest_rounds(csr, cols_np, window)
     interp = jax.devices()[0].platform == "cpu"
-    make_fn = make_csr_dma_solver if args.solver == "csr-dma" else \
-        make_csr_solver
-    solver = make_fn(robot, window=window, rounds=rounds,
-                     interpret=interp, decide="quorum")
+    kw = dict(window=window, rounds=rounds, interpret=interp,
+              decide="quorum")
+    if args.solver == "csr-dma":
+        kw["zclip"] = suggest_zclip(csr, window)
+        make_fn = make_csr_dma_solver
+    else:
+        make_fn = make_csr_solver
+    solver = make_fn(robot, **kw)
 
     P = body.shape[0]
     chunk = min(args.pose_chunk, P)

@@ -222,6 +222,21 @@ def suggest_window(
     return int(min(max(w, lo), hi))
 
 
+def suggest_zclip(
+    csr: "CSRGrid", window: int, quantile: float = 0.90
+) -> bool:
+    """Whether per-round z-subrange clipping pays for this grid.
+
+    Clipping shortens column slices to the missing legs' union ball
+    chord, but the kernel evaluates whole windows — so it only saves
+    work when columns span multiple windows.  On-chip: +28% at 65M
+    points and +63% on the 10M multirot sweep (straggler-heavy), +1.5%
+    at 10M, but -12% at 1M where columns fit one window and the
+    per-round [A, C, L] clip math is pure overhead.
+    """
+    return _column_occupancy(csr, quantile) > window
+
+
 def suggest_rounds(
     csr: "CSRGrid", columns: np.ndarray, window: int,
     quantile: float = 0.90, first: int = 8,
@@ -424,7 +439,7 @@ def make_csr_dma_solver(
     robot: LegDimensions, window: int = 2048, interpret: bool = False,
     rounds: tuple = ((12, 1.0), (24, 0.5), (48, 0.25), (96, 0.125),
                      (0, 0.0625)),
-    decide: str = "legs", super_step: int = 64,
+    decide: str = "legs", super_step: int = 64, zclip: bool = True,
 ):
     """CSR positionability solver with IN-KERNEL DMA candidate streaming.
 
@@ -635,14 +650,20 @@ def make_csr_dma_solver(
         # dead-chunk sentinel start (skip marker)
 
         cs = jnp.float32(cell_size)
-        col_start, col_len, rel, zclip = _pose_columns(
-            body, quats, starts, origin, columns, cs, dims, mount_vec,
-            reach_l, with_zclip=True,
-        )
-        colflat, col_zlo, col_zhi, dxy2, cz = zclip
-        cz_abs = body[:, 2:3] + cz  # [P, L] absolute ball-center z
-        reach2 = jnp.asarray(reach_l, jnp.float32)[None, None, :] ** 2
-        oz = origin[2]
+        if zclip:
+            col_start, col_len, rel, zinfo = _pose_columns(
+                body, quats, starts, origin, columns, cs, dims,
+                mount_vec, reach_l, with_zclip=True,
+            )
+            colflat, col_zlo, col_zhi, dxy2, cz = zinfo
+            cz_abs = body[:, 2:3] + cz  # [P, L] absolute ball-center z
+            reach2 = jnp.asarray(reach_l, jnp.float32)[None, None, :] ** 2
+            oz = origin[2]
+        else:
+            col_start, col_len, rel = _pose_columns(
+                body, quats, starts, origin, columns, cs, dims,
+                mount_vec, reach_l,
+            )
         tab = oriented_tables(body, quats, robot)
         w32 = jnp.int32(window)
         k_eff = jnp.int32(k if k else L)
@@ -726,14 +747,20 @@ def make_csr_dma_solver(
             return out.at[:, :L].set(legs_.astype(jnp.int32))
 
         def run_round(per_pose, rel_, legs_, scanned_, n_windows):
-            (tab_, colflat_, zlo_, zhi_, dxy2_, cza_) = per_pose
-            # legs each column still serves, and the column slice
-            # clipped to their union z-range (both exact: relevance is
-            # a superset of reachability, found legs are monotone)
+            # legs each column still serves, and (when zclip) the column
+            # slice clipped to their union z-range (both exact:
+            # relevance is a superset of reachability, found legs are
+            # monotone).  zclip pays per-round [A, C, L] work that only
+            # helps when columns span multiple windows — callers gate it
+            # on column occupancy (see suggest_zclip).
             need0 = rel_ & ~legs_[:, None, :]
-            cs_, cl_ = clipped_slices(
-                colflat_, zlo_, zhi_, dxy2_, cza_, need0
-            )
+            if zclip:
+                (tab_, colflat_, zlo_, zhi_, dxy2_, cza_) = per_pose
+                cs_, cl_ = clipped_slices(
+                    colflat_, zlo_, zhi_, dxy2_, cza_, need0
+                )
+            else:
+                tab_, cs_, cl_ = per_pose
             want, cum = _column_queue(
                 cl_, rel_, legs_, scanned_, undecided, w32
             )
@@ -775,9 +802,13 @@ def make_csr_dma_solver(
             scanned_ = scanned_ | (want & (cum <= q_done))
             return legs_, scanned_
 
+        per_pose = (
+            (tab, colflat, col_zlo, col_zhi, dxy2, cz_abs) if zclip
+            else (tab, col_start, col_len)
+        )
         legs, scanned, over_quota = run_schedule(
             tuple(rounds) + ((0, 1.0),),  # full-width safety round
-            (tab, colflat, col_zlo, col_zhi, dxy2, cz_abs), rel,
+            per_pose, rel,
             jnp.zeros((P, L), bool), jnp.zeros((P, C), bool),
             undecided, run_round,
         )

@@ -199,11 +199,11 @@ def test_csr_dma_solver_matches_topk(rng):
     )
     # two window widths exercise both the tile-aligned over-fetch
     # (starts round down to 1024 elements) and window tails crossing
-    # column ends
-    for window in (128, 256):
+    # column ends; zclip=False covers the unclipped column-slice path
+    for window, zc in ((128, True), (256, True), (256, False)):
         solver = make_csr_dma_solver(
             robot, window=window, interpret=True,
-            rounds=((4, 1.0), (8, 0.5)), super_step=8,
+            rounds=((4, 1.0), (8, 0.5)), super_step=8, zclip=zc,
         )
         legs_a, quorum_a, ovf = solver(
             body, quats, csr.xs, csr.ys, csr.zs, csr.starts, csr.origin,

@@ -136,6 +136,7 @@ def main() -> None:
             make_csr_solver,
             suggest_rounds,
             suggest_window,
+            suggest_zclip,
         )
 
         t0 = time.perf_counter()
@@ -149,7 +150,10 @@ def main() -> None:
         # constants starve on dense grids (safety-round churn) and
         # waste lanes/steps on sparse ones
         kw["rounds"] = rounds or suggest_rounds(csr, cols_np, window)
+        if args.solver == "csr-dma":
+            kw["zclip"] = suggest_zclip(csr, window)
         print(f"window={window}{' (auto)' if not args.window else ''} "
+              f"zclip={kw.get('zclip')} "
               f"rounds schedule: {kw['rounds']}"
               f"{' (auto)' if not rounds else ''}", flush=True)
         make_fn = (make_csr_dma_solver if args.solver == "csr-dma"
