@@ -1,0 +1,87 @@
+"""Density-aware CSR solver auto-tuning (suggest_window/rounds/zclip).
+
+These helpers pick the product defaults for the CSR solvers
+(tools/map_solve_bench.py, cli map); their contracts — power-of-two
+window inside the measured clamp range, a schedule ladder whose
+cumulative quota covers the estimated worst-case queue, occupancy-gated
+z-clipping — are what the on-chip tuning curves in RESULTS.md encode.
+"""
+
+import numpy as np
+import pytest
+
+from legmov_tpu.ops.csr_grid import (
+    _column_occupancy,
+    ball_columns,
+    build_csr_grid,
+    suggest_rounds,
+    suggest_window,
+    suggest_zclip,
+)
+from legmov_tpu.ops.grid import neighbor_offsets
+
+
+def _grid_with_column_depth(depth: int, nx: int = 4, ny: int = 4):
+    """CSR grid whose every (x, y) column holds ``depth`` points."""
+    cs = 10.0
+    pts = []
+    for i in range(nx):
+        for j in range(ny):
+            for k in range(depth):
+                pts.append(
+                    (i * cs + 1.0, j * cs + 1.0, (k % 3) * cs + 1.0)
+                )
+    return build_csr_grid(np.asarray(pts, np.float32), cs)
+
+
+def test_column_occupancy_counts_full_z_extent():
+    csr = _grid_with_column_depth(12)
+    # every occupied column holds exactly 12 points across its z cells
+    assert _column_occupancy(csr, 0.5) == 12.0
+    assert _column_occupancy(csr, 0.99) == 12.0
+
+
+def test_suggest_window_pow2_clamped():
+    sparse = _grid_with_column_depth(3)
+    dense = _grid_with_column_depth(40)
+    lo, hi = 256, 1024
+    w_sparse = suggest_window(sparse, lo=lo, hi=hi)
+    w_dense = suggest_window(dense, lo=lo, hi=hi)
+    for w in (w_sparse, w_dense):
+        assert lo <= w <= hi
+        assert w & (w - 1) == 0, "window must be a power of two"
+    assert w_sparse == lo  # occupancy 3 -> clamped up to lo
+    # occupancy scales with density but stays inside the clamp
+    big = suggest_window(_grid_with_column_depth(5000), lo=lo, hi=hi)
+    assert big == hi
+
+
+def test_suggest_rounds_ladder_covers_queue():
+    csr = _grid_with_column_depth(60)
+    cols = ball_columns(neighbor_offsets(10.0, 25.0))
+    window = 128
+    rounds = suggest_rounds(csr, cols, window)
+    # doubling-quota / halving-fraction ladder with an unbounded tail
+    quotas = [q for q, _ in rounds]
+    fracs = [f for _, f in rounds]
+    assert quotas[-1] == 0, "last round must be the unbounded tail"
+    for a, b in zip(quotas[:-2], quotas[1:-1]):
+        assert b == 2 * a
+    for a, b in zip(fracs[:-1], fracs[1:]):
+        assert b == pytest.approx(a / 2)
+    assert min(fracs) >= 1.0 / 256.0 - 1e-12
+    # cumulative scheduled quota + the tail covers the estimated queue:
+    # occupancy chunks x ball columns, quantized to the next pow2
+    chunks = int(np.ceil(_column_occupancy(csr, 0.90) / window))
+    q_est = max(2 * 8, len(cols) * chunks)
+    q_est = 1 << int(np.ceil(np.log2(q_est)))
+    assert sum(quotas[:-1]) <= q_est  # ladder never over-schedules
+
+
+def test_suggest_zclip_gates_on_occupancy_vs_window():
+    shallow = _grid_with_column_depth(8)
+    deep = _grid_with_column_depth(600)
+    assert not suggest_zclip(shallow, window=256)
+    assert suggest_zclip(deep, window=256)
+    # the same deep grid with a window wider than its columns: clip off
+    assert not suggest_zclip(deep, window=1024)
