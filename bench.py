@@ -135,7 +135,12 @@ def main() -> None:
                     help="grid points for the distance sweep")
     ap.add_argument("--iters", type=int, default=8,
                     help="chained evaluations per timing sample")
-    ap.add_argument("--reps", type=int, default=5)
+    # the reference takes 100 GPU subsamples per size (setting_bench.h:10)
+    # and percentile-filters; with the one-sided relay noise here the min
+    # estimator needs enough draws to hit an uncontended window — 11 reps
+    # cost < 1 s extra (the scalar fetch dominates a rep) and on
+    # contended days tighten the headline by ~10%
+    ap.add_argument("--reps", type=int, default=11)
     ap.add_argument("--impl", choices=("auto", "pallas", "xla"), default="auto",
                     help="auto tries the fused Pallas kernels, falling back "
                     "to the XLA path on any compile/lowering failure")
