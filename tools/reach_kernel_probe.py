@@ -5,7 +5,7 @@ roofline (bench.py fields).  This probe times the product kernel under
 grid/block variants plus cost-attribution ablations to find where the
 remaining 3.6x goes:
 
-* ``block{128,512,1024}`` — grid-step tile height vs the default 256
+* ``block{256,512,1024}`` — grid-step tile height vs the default 128
 * ``parallel``            — Mosaic ``dimension_semantics=("parallel",)``
 * ``io_only``             — copy-through kernel on the same tiles: the
   achievable memory-bound floor for this pipeline shape (results WRONG —
@@ -90,8 +90,8 @@ def main() -> None:
     )
 
     cases = [
-        ("default(256)", dict()),
-        ("block128", dict(block_rows=128)),
+        ("default(128)", dict()),
+        ("block256", dict(block_rows=256)),
         ("block512", dict(block_rows=512)),
         ("block1024", dict(block_rows=1024)),
         ("parallel", dict(parallel=True)),
