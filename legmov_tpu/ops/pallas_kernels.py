@@ -258,13 +258,16 @@ def make_reachability_kernel(leg: LegDimensions, block_rows: int = 128,
     return fn
 
 
-# Hardware probe (tools/dist_kernel_probe.py, v5e 2026-08-17, 4.2M pts,
-# 5 chained reps/case): plain 0.3136 ns/pt < rsqrt-only 0.3239 < both
-# 0.3377 < corner-linear-only 0.3484.  Both "optimizations" are net
-# LOSSES on Mosaic (the select-chain the corner tournament replaces
-# folds better than its expanded linear form; sqrt+div pipelines fine),
-# so the default is plain.  The opts remain available for re-probing.
-DIST_DEFAULT_OPTS = frozenset()
+# Hardware probe history (tools/dist_kernel_probe.py, v5e, 4.2M pts):
+# the 2026-08-17 5-rep probe ranked plain first (0.3136 < rsqrt-only
+# 0.3239 < both 0.3377) and the default was reverted to plain; the
+# 2026-08-19 11-rep re-probe (min estimator with enough draws to beat
+# the relay's one-sided contention noise, see bench.py) flipped it
+# decisively the other way within one session: both 0.3312 < rsqrt-only
+# 0.3342 < corner-linear-only 0.3453 < plain 0.3536.  The tolerance
+# contract is identical (both variants parity-tested in
+# tests/test_pallas.py), so the default is both opts on.
+DIST_DEFAULT_OPTS = frozenset({"opt_rsqrt", "opt_corner_linear"})
 
 
 def make_distance_kernel(leg: LegDimensions, block_rows: int = 128,
@@ -280,9 +283,9 @@ def make_distance_kernel(leg: LegDimensions, block_rows: int = 128,
     ``ablate`` is a feature set: the tolerance-preserving variants
     ``opt_rsqrt`` (one rsqrt + two muls instead of sqrt + divide per
     clamp) and ``opt_corner_linear`` (expanded-linear-form corner
-    tournament) are parity-tested in tests/test_pallas.py but measured
-    slower on hardware (see DIST_DEFAULT_OPTS), so the default is
-    plain.  The remaining members
+    tournament) are parity-tested in tests/test_pallas.py and ON by
+    default (see the DIST_DEFAULT_OPTS probe history).  The remaining
+    members
     {"no_corners", "no_validate", "single_branch"} are for PROFILING ONLY
     (tools/dist_kernel_probe.py): they disable kernel sections to
     attribute device time — results are WRONG with any of them active.
