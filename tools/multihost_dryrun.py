@@ -142,6 +142,46 @@ def worker(proc: int, port: int, args) -> None:
     print(f"proc {proc}: local shards match single-process oracle",
           flush=True)
 
+    # flagship solver across the process boundary: the in-kernel-DMA CSR
+    # streaming solver (interpret mode on CPU) under the same global mesh
+    # — poses globally sharded, CSR tables replicated per process
+    from legmov_tpu.ops.csr_grid import (
+        ball_columns,
+        build_csr_grid,
+        make_csr_dma_solver,
+    )
+    from legmov_tpu.ops.grid import cell_size_for, neighbor_offsets
+    from legmov_tpu.parallel.sharding import sharded_csr_positionable
+
+    reach = cell_size_for(robot)
+    csr = build_csr_grid(fh, reach / 2)
+    cols = np.asarray(ball_columns(neighbor_offsets(reach / 2, reach)))
+    dma = make_csr_dma_solver(
+        robot, window=256, interpret=True,
+        rounds=((2, 1.0), (0, 0.5)), super_step=4,
+    )
+    csr_host = (np.asarray(csr.xs), np.asarray(csr.ys), np.asarray(csr.zs),
+                np.asarray(csr.starts), np.asarray(csr.origin))
+    out_dma = sharded_csr_positionable(
+        mesh, dma, jax.numpy.asarray(cols), csr.cell_size, csr.dims, k=k
+    )(gbody, gq, *(replicated(a) for a in csr_host))
+    jax.block_until_ready(out_dma)
+    _, want_dma, _ = dma(
+        jax.numpy.asarray(body),
+        jax.numpy.asarray(np.tile(np.asarray([1, 0, 0, 0], np.float32),
+                                  (n_poses, 1))),
+        *(jax.numpy.asarray(a) for a in csr_host),
+        jax.numpy.asarray(cols), cell_size=csr.cell_size, k=k,
+        dims=csr.dims,
+    )
+    want_dma = np.asarray(want_dma)
+    for s in out_dma.addressable_shards:
+        lo = s.index[0].start or 0
+        got = gather_to_host(s.data)
+        np.testing.assert_array_equal(got, want_dma[lo : lo + got.shape[0]])
+    print(f"proc {proc}: DMA-solver local shards match single-process run",
+          flush=True)
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
