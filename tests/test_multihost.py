@@ -10,11 +10,14 @@ single-process oracle.
 
 import os
 import subprocess
+
+import pytest
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_two_process_distributed_positionable():
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}

@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from legmov_tpu.models.robot import get_m2_robot, get_moonbot_robot, make_robot
 from legmov_tpu.models.robot import HEX_MOUNTS
@@ -172,6 +173,47 @@ def test_csr_solver_matches_topk(rng):
     )
 
 
+def test_csr_dma_solver_matches_topk_small(rng):
+    """Default-suite DMA-solver exactness smoke: one window/zclip config,
+    small pose batch, vs the exhaustive dense path.  The full sweep
+    (3 window/zclip configs + decide='quorum') is the slow-marked
+    test below; on-chip exactness is additionally fuzzed per round by
+    tools/onchip_fuzz.py."""
+    from legmov_tpu.ops.csr_grid import (
+        ball_columns,
+        build_csr_grid,
+        make_csr_dma_solver,
+    )
+
+    robot = get_moonbot_robot()
+    reach = cell_size_for(robot)
+    cell = reach / 2
+    fh = flat_grid((-1200, 1201), (-1200, 1201), 150.0, z=-130.0)
+    fh = fh[~((np.abs(fh[:, 0]) < 420) & (fh[:, 1] > 120))]
+    g = build_grid(fh, cell)
+    offs = neighbor_offsets(cell, reach)
+    csr = build_csr_grid(fh, cell)
+    cols = jnp.asarray(ball_columns(offs))
+    P = 8
+    body, quats = _poses(P, rng)
+    legs_t, quorum_t, _ = grid_reachable_legs_topk(
+        body, quats, g, robot, jnp.asarray(offs), top_k=80, k=4
+    )
+    solver = make_csr_dma_solver(
+        robot, window=128, interpret=True,
+        rounds=((4, 1.0), (8, 0.5)), super_step=8, zclip=True,
+    )
+    legs_a, quorum_a, _ = solver(
+        body, quats, csr.xs, csr.ys, csr.zs, csr.starts, csr.origin,
+        cols, cell_size=csr.cell_size, k=4, dims=csr.dims,
+    )
+    np.testing.assert_array_equal(np.asarray(legs_a), np.asarray(legs_t))
+    np.testing.assert_array_equal(
+        np.asarray(quorum_a), np.asarray(quorum_t)
+    )
+
+
+@pytest.mark.slow
 def test_csr_dma_solver_matches_topk(rng):
     """The in-kernel-DMA CSR solver must match the exhaustive dense path
     exactly in legs mode (incl. window tails crossing column ends, which
@@ -359,6 +401,7 @@ def test_multileg_distance_kernel_matches_xla(rng):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_solver_fuzz_smoke():
     """Three randomized trials of the fuzz harness (tools/solver_fuzz.py)
     — CSR and adaptive solvers exact vs the exhaustive path on random
@@ -395,7 +438,9 @@ def test_solvers_ragged_pose_count():
     robot = get_moonbot_robot()
     reach = cell_size_for(robot)
     cell = reach / 2
-    fh = flat_grid((-1200, 1201), (-1200, 1201), 90.0, z=-130.0)
+    # coarse terrain: this test targets the pose-axis PAD logic, not
+    # candidate coverage — keep the interpret-mode step count small
+    fh = flat_grid((-1200, 1201), (-1200, 1201), 150.0, z=-130.0)
     fh = fh[~((np.abs(fh[:, 0]) < 420) & (fh[:, 1] > 120))]
     g = build_grid(fh, cell)
     offs = neighbor_offsets(cell, reach)

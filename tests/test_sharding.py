@@ -136,6 +136,7 @@ def test_sharded_csr_positionable_matches(mesh, rng=np.random.default_rng(12)):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+@pytest.mark.slow
 def test_sharded_csr_dma_positionable_matches(
     mesh, rng=np.random.default_rng(13)
 ):
