@@ -344,6 +344,35 @@ class CellRecord:
     depth: np.ndarray  # [M] int
 
 
+def _morton_order(centers: np.ndarray, half: np.ndarray) -> np.ndarray:
+    """Spatial (Morton) sort permutation of cell centers, quantized by
+    the cell pitch.
+
+    Children of scattered refined parents arrive parent-ordered; batches
+    sliced from that order have wide bounding boxes, which defeats the
+    batch-local foothold subsetting (a batch's candidate subset covers
+    its whole bbox).  Z-order curve sorting makes every batch spatially
+    tight — measured on the depth-7 moon solve it shrinks the deep-level
+    subsets severalfold.  Cell order carries no semantics (CellRecord is
+    an unordered set; level recursion only needs the refine mask)."""
+    q = np.floor(
+        centers / np.maximum(2.0 * half, 1e-6)[None, :]
+    ).astype(np.int64)
+    q -= q.min(axis=0)
+    q &= (1 << 21) - 1
+
+    def spread(x):
+        x = (x | (x << 32)) & 0x1F00000000FFFF
+        x = (x | (x << 16)) & 0x1F0000FF0000FF
+        x = (x | (x << 8)) & 0x100F00F00F00F00F
+        x = (x | (x << 4)) & 0x10C30C30C30C30C3
+        x = (x | (x << 2)) & 0x1249249249249249
+        return x
+
+    code = spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+    return np.argsort(code, kind="stable")
+
+
 def _split_children(
     centers: np.ndarray, half: np.ndarray, min_box: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -372,6 +401,10 @@ def solve_positionability(
     cell_batch: int = 1024,
     shared_foothold: bool = True,
     use_pallas: str = "auto",
+    profile: bool = False,
+    candidates: str = "auto",
+    csr_window: int = 1024,
+    csr_cell_chunk: int = 8192,
 ) -> CellRecord:
     """Breadth-first hierarchical positionability solve.
 
@@ -383,7 +416,29 @@ def solve_positionability(
     one shared foothold); ``False`` lets every leg claim its own foothold
     (the thrust-pipeline criterion — use this for physically meaningful
     stances).
+
+    Batches of a level are DISPATCHED first and fetched afterwards (one
+    packed flags array per batch), so device work, relay uploads, and
+    result round-trips overlap instead of serializing per batch — on the
+    relay-attached TPU of this environment a blocking per-batch loop
+    pays ~3 x 30 ms fetch latency per batch plus serialized subset
+    uploads.  ``profile=True`` (or env ``LEGMOV_HIER_PROFILE=1``) prints
+    a per-level breakdown (batches, subset bytes, dispatch vs fetch
+    wall).
+
+    ``candidates`` selects how orientation-active levels get their
+    foothold candidates: ``"dense"`` = per-batch bbox subsets through
+    the fused dense kernel (the round-2 path); ``"csr"`` = the
+    CSR-streaming evaluator with in-kernel per-quat early exit
+    (ops/csr_cell_eval.py — device-resident footholds, per-CELL
+    elongated-box candidate queues, decided cells skip their remaining
+    orientation samples); ``"auto"`` = csr whenever the Pallas fast
+    path is active.  Flags are bit-identical across the choices.
     """
+    import os as _os
+    import time as _time
+
+    profile = profile or bool(_os.environ.get("LEGMOV_HIER_PROFILE"))
     k = cfg.legs_for_stability
     reach = _total_reach(robot)
     quats = jnp.asarray(orientation_samples(cfg))
@@ -435,6 +490,38 @@ def solve_positionability(
     ).astype(_f32)
     fh_dev = jnp.asarray(fh)
 
+    # CSR-streaming candidates for orientation-active levels: footholds
+    # uploaded ONCE in cell-sorted CSR form; per-cell elongated boxes
+    # stream as x-slab windows inside the kernel (no per-batch subsets)
+    use_csr = candidates == "csr" or (
+        candidates == "auto" and fast_rot_eval is not None
+    )
+    csr_env = None
+    if use_csr and F:
+        from legmov_tpu.ops.csr_cell_eval import (
+            _ALIGN as _CSR_ALIGN,
+            R_CAP,
+            level_tables,
+            make_csr_cell_eval,
+            pad_csr_soa,
+            slab_queue_host_max,
+        )
+        from legmov_tpu.ops.csr_grid import build_csr_grid
+
+        cs_cell = reach  # ~1 reach per cell: 3-4 x-slabs per deep box
+        csr = build_csr_grid(footholds.astype(_f32), cs_cell)
+        w_fetch = (-(-csr_window // _CSR_ALIGN) + 1) * _CSR_ALIGN
+        xs2, ys2, zs2, dead_elem = pad_csr_soa(
+            csr.xs, csr.ys, csr.zs, w_fetch
+        )
+        csr_env = dict(
+            csr=csr, xs2=xs2, ys2=ys2, zs2=zs2, dead_elem=dead_elem,
+            starts_h=np.asarray(csr.starts), fns={},
+            R_CAP=R_CAP, level_tables=level_tables,
+            make_eval=make_csr_cell_eval, host_max=slab_queue_host_max,
+            interp=jax.default_backend() != "tpu",
+        )
+
     out: list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]] = []
 
     centers = np.asarray([cfg.box_center], _f32)
@@ -445,6 +532,9 @@ def solve_positionability(
         children, child_half = _split_children(centers, half, min_box)
         n_children = children.shape[0] // centers.shape[0]
         child_parent_valid = np.repeat(parent_valid, n_children)
+        order = _morton_order(children, child_half)
+        children = children[order]
+        child_parent_valid = child_parent_valid[order]
 
         rot_active = bool(half[0] < cfg.enable_rot_below)
         margin = 0.0 if rot_active else cfg.enable_rot_below / 3.0
@@ -457,60 +547,158 @@ def solve_positionability(
         valid = np.zeros(C, bool)
         edge = np.zeros(C, bool)
         leaf_ok = np.zeros(C, bool)
-        for s in range(0, C, batch):
-            e = min(s + batch, C)
-            n = e - s
-            cpad = batch - n
-            cc = np.concatenate([children[s:e], np.full((cpad, 3), 1e9, _f32)])
-            pv = np.concatenate([child_parent_valid[s:e], np.zeros(cpad, bool)])
-            # batch-local foothold subset (the octree's elongated-box
-            # pruning at batch granularity, several_leg_octree.cu:76-82):
-            # only points within the batch bbox expanded by parent_half +
-            # reach can pass the per-cell prefilter, and split order keeps
-            # batches spatially coherent — at deep levels this shrinks the
-            # foothold axis by orders of magnitude.  Sizes are bucketed to
-            # powers of two so compilation stays bounded.
-            expand = half + np.float32(reach)
-            lo = children[s:e].min(axis=0) - expand
-            hi = children[s:e].max(axis=0) + expand
-            m = np.all((fh >= lo) & (fh <= hi), axis=1)
-            sub = fh[m]
-            if sub.shape[0] < fh.shape[0] // 2:
-                # bucket to a power of two (bounded compile count), then
-                # round UP to a chunk multiple: the evaluators truncate
-                # the foothold axis to n_chunks * chunk, so a
-                # non-chunk-multiple pad would silently drop real points
-                fsz = max(chunk, 1 << (max(sub.shape[0] - 1, 1)).bit_length())
-                fsz = -(-fsz // chunk) * chunk
-                sub = np.concatenate(
-                    [sub, np.full((fsz - sub.shape[0], 3), 1e9, _f32)]
-                )
-                fh_batch = jnp.asarray(sub)
-            else:
-                fh_batch = fh_dev
-            if rot_active:
-                ev = fast_rot_eval if fast_rot_eval is not None \
-                    else _eval_cells
-            else:
-                ev = fast_eval if fast_eval is not None else _eval_cells
-            v, ed, lf = ev(
-                jnp.asarray(cc),
-                jnp.asarray(pv),
-                jnp.asarray(child_half),
-                jnp.asarray(half),
-                fh_batch,
-                quats,
-                robot,
-                k=k,
-                margin=float(margin),
-                reach=reach,
-                chunk=chunk,
-                use_rot=rot_active,
-                shared=shared_foothold,
+
+        # CSR-streaming path for orientation-active levels (see
+        # ``candidates`` in the docstring); per-quat early exit +
+        # device-resident candidates make it strictly faster there,
+        # with bit-identical flags
+        if rot_active and csr_env is not None:
+            csr = csr_env["csr"]
+            elong_np = (half + np.float32(reach)).astype(_f32)
+            r_need = int(np.ceil(elong_np[0] / csr.cell_size)) + 1
+        if (rot_active and csr_env is not None
+                and r_need <= csr_env["R_CAP"]):
+            S = int(np.asarray(quats).shape[0])
+            maxch = csr_env["host_max"](
+                children, elong_np, csr_env["starts_h"],
+                np.asarray(csr.origin), csr.cell_size, csr.dims,
+                csr_window,
             )
-            valid[s:e] = np.asarray(v)[:n]
-            edge[s:e] = np.asarray(ed)[:n]
-            leaf_ok[s:e] = np.asarray(lf)[:n]
+            q_steps = max(8, 1 << (max(S * maxch, 1) - 1).bit_length())
+            cells_pad = max(
+                8, min(csr_cell_chunk, 1 << (max(C - 1, 1)).bit_length())
+            )
+            key = (S, cells_pad, q_steps)
+            if key not in csr_env["fns"]:
+                csr_env["fns"][key] = csr_env["make_eval"](
+                    robot, k=k, n_quats=S, cells=cells_pad,
+                    q_steps=q_steps, shared=shared_foothold,
+                    window=csr_window, interpret=csr_env["interp"],
+                )
+            ev_csr = csr_env["fns"][key]
+            legtab = csr_env["level_tables"](
+                quats, jnp.asarray(child_half), jnp.asarray(half),
+                robot, float(margin), reach,
+            )
+            elong_d = jnp.asarray(elong_np)
+            t_disp0 = _time.perf_counter()
+            pending_c = []
+            for s in range(0, C, cells_pad):
+                e = min(s + cells_pad, C)
+                n = e - s
+                cpad = cells_pad - n
+                cc = np.concatenate(
+                    [children[s:e], np.full((cpad, 3), 1e9, _f32)]
+                )
+                pv = np.concatenate(
+                    [child_parent_valid[s:e], np.zeros(cpad, bool)]
+                )
+                v, ed, lf, over = ev_csr(
+                    jnp.asarray(cc), jnp.asarray(pv), legtab, elong_d,
+                    csr_env["xs2"], csr_env["ys2"], csr_env["zs2"],
+                    csr.starts, csr.origin, cell_size=csr.cell_size,
+                    dims=csr.dims, dead_elem=csr_env["dead_elem"],
+                )
+                pending_c.append(
+                    (s, n, jnp.stack([v, ed, lf]), over)
+                )
+            t_disp = _time.perf_counter() - t_disp0
+            t_fetch0 = _time.perf_counter()
+            for s, n, flags, over in pending_c:
+                f = np.asarray(flags)
+                if bool(np.asarray(over)):
+                    raise RuntimeError(
+                        "csr_cell_eval queue truncated (q_steps "
+                        f"{q_steps} undersized) — host/device slab "
+                        "sizing diverged"
+                    )
+                valid[s : s + n] = f[0, :n]
+                edge[s : s + n] = f[1, :n]
+                leaf_ok[s : s + n] = f[2, :n]
+            if profile:
+                t_fetch = _time.perf_counter() - t_fetch0
+                print(
+                    f"[hier] depth={depth} cells={C} "
+                    f"batches={len(pending_c)} batch={cells_pad} "
+                    f"rot=True csr q_steps={q_steps} "
+                    f"dispatch_s={t_disp:.2f} fetch_s={t_fetch:.2f}",
+                    flush=True,
+                )
+        else:
+            pending: list[tuple[int, int, jnp.ndarray]] = []
+            sub_bytes = 0
+            t_disp0 = _time.perf_counter()
+            for s in range(0, C, batch):
+                e = min(s + batch, C)
+                n = e - s
+                cpad = batch - n
+                cc = np.concatenate([children[s:e], np.full((cpad, 3), 1e9, _f32)])
+                pv = np.concatenate([child_parent_valid[s:e], np.zeros(cpad, bool)])
+                # batch-local foothold subset (the octree's elongated-box
+                # pruning at batch granularity, several_leg_octree.cu:76-82):
+                # only points within the batch bbox expanded by parent_half +
+                # reach can pass the per-cell prefilter, and split order keeps
+                # batches spatially coherent — at deep levels this shrinks the
+                # foothold axis by orders of magnitude.  Sizes are bucketed to
+                # powers of two so compilation stays bounded.
+                expand = half + np.float32(reach)
+                lo = children[s:e].min(axis=0) - expand
+                hi = children[s:e].max(axis=0) + expand
+                m = np.all((fh >= lo) & (fh <= hi), axis=1)
+                sub = fh[m]
+                if sub.shape[0] < fh.shape[0] // 2:
+                    # bucket to a power of two (bounded compile count), then
+                    # round UP to a chunk multiple: the evaluators truncate
+                    # the foothold axis to n_chunks * chunk, so a
+                    # non-chunk-multiple pad would silently drop real points
+                    fsz = max(chunk, 1 << (max(sub.shape[0] - 1, 1)).bit_length())
+                    fsz = -(-fsz // chunk) * chunk
+                    sub = np.concatenate(
+                        [sub, np.full((fsz - sub.shape[0], 3), 1e9, _f32)]
+                    )
+                    fh_batch = jnp.asarray(sub)
+                    sub_bytes += sub.nbytes
+                else:
+                    fh_batch = fh_dev
+                if rot_active:
+                    ev = fast_rot_eval if fast_rot_eval is not None \
+                        else _eval_cells
+                else:
+                    ev = fast_eval if fast_eval is not None else _eval_cells
+                v, ed, lf = ev(
+                    jnp.asarray(cc),
+                    jnp.asarray(pv),
+                    jnp.asarray(child_half),
+                    jnp.asarray(half),
+                    fh_batch,
+                    quats,
+                    robot,
+                    k=k,
+                    margin=float(margin),
+                    reach=reach,
+                    chunk=chunk,
+                    use_rot=rot_active,
+                    shared=shared_foothold,
+                )
+                # ONE packed device array per batch, fetched after the whole
+                # level is dispatched (see docstring)
+                pending.append((s, n, jnp.stack([v, ed, lf])))
+            t_disp = _time.perf_counter() - t_disp0
+            t_fetch0 = _time.perf_counter()
+            for s, n, flags in pending:
+                f = np.asarray(flags)
+                valid[s : s + n] = f[0, :n]
+                edge[s : s + n] = f[1, :n]
+                leaf_ok[s : s + n] = f[2, :n]
+            if profile:
+                t_fetch = _time.perf_counter() - t_fetch0
+                print(
+                    f"[hier] depth={depth} cells={C} batches={len(pending)} "
+                    f"batch={batch} rot={rot_active} "
+                    f"subset_mb={sub_bytes / 1e6:.1f} "
+                    f"dispatch_s={t_disp:.2f} fetch_s={t_fetch:.2f}",
+                    flush=True,
+                )
 
         splittable = bool(np.any(child_half >= min_box))
         refine = edge & ~leaf_ok

@@ -1,0 +1,433 @@
+"""CSR-streaming hierarchical cell evaluator with in-kernel quat early exit.
+
+The hierarchical solver's deep (orientation-active) levels dominate its
+wall time.  The dense evaluators (models/hier_solver._eval_cells and the
+fused ops/pallas_multileg_dist twins) evaluate EVERY (cell, orientation)
+item against a per-batch foothold subset that must be re-uploaded through
+the relay per batch and is as wide as the batch's bounding box.  This
+evaluator replaces that with the CSR machinery of ops/csr_grid.py, shaped
+for cells instead of poses:
+
+* footholds live device-resident in cell-sorted CSR form (12 B/point,
+  uploaded once per solve);
+* each cell's candidate set is its own elongated box (the exact ``pre``
+  prefilter bound, several_leg_octree.cu:76-82) decomposed into x-SLABS —
+  for a fixed x-cell, the (y-range x full z) block is ONE contiguous CSR
+  range, so a deep cell's box is ~3-5 contiguous slices instead of
+  dozens of short (x, y) columns (window-granularity waste);
+* ONE ``pallas_call`` evaluates a whole level chunk: grid =
+  (cell tiles, queue steps), the queue quat-major per cell; candidate
+  windows stream HBM->VMEM with ``pltpu.make_async_copy`` per row;
+* per-quat finalization runs IN-KERNEL (SMEM running state), and a cell
+  whose output flags are DECIDED skips every remaining (quat, chunk)
+  step.  Exact by monotonicity: valid/edge (and shared-mode leaf) only
+  accumulate over quats, and per-leg leaf is derived as
+  ``valid & ~edge`` — once valid and edge are both set, no later quat
+  can change any returned flag.  Most deep cells decide within the
+  first few middle-first orientation samples, so this cuts the
+  45-sample sweep to a data-dependent handful per cell;
+* the per-quat workspace tables ride in SMEM ONCE per level
+  (``[S, W]``): they depend only on the orientation, not the cell — the
+  dense path re-materializes them per (cell, quat) row.
+
+Exactness: the slab set covers the elongated box (superset); every
+streamed candidate is a real foothold or the far sentinel; the in-kernel
+``pre`` test is the same exact box test the dense path applies per item,
+so extra streamed points (window tails, align-down widening, z overfetch)
+contribute exactly nothing.  Flags match the dense evaluators bit-for-bit
+(tests/test_csr_cell_eval.py).
+
+Reference anchor: several_leg_octree.cu:19-151 ``validity_child`` item
+semantics (via the shared ops/pallas_multileg_dist.make_item_math);
+octree_util.cu.h:153-159 ``isInBox`` prefilter.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from legmov_tpu.models.leg import LegDimensions
+from legmov_tpu.ops.pallas_multileg_dist import (
+    dist_leg_constants,
+    make_item_math,
+    oriented_dist_tables,
+    table_width,
+)
+
+_LANES = 128
+_ROWS = 8  # cells per tile (f32 sublane count)
+_ALIGN = 8 * _LANES  # DMA start/shape quantum for [rows, 128] f32 (ops/csr_grid.py)
+
+#: static x-slab offset cap: levels whose elongated box spans more than
+#: 2*R_CAP+1 grid cells per axis fall back to the dense evaluators
+R_CAP = 6
+
+
+def pad_csr_soa(xs, ys, zs, w_fetch: int):
+    """Sentinel-pad CSR component arrays for in-kernel DMA streaming.
+
+    Returns ``(xs2, ys2, zs2, dead_elem)``: ``[rows, 128]`` layouts whose
+    tail holds >= ``w_fetch`` far sentinels starting at the align-rounded
+    ``dead_elem`` (dead-chunk fetch target; same scheme as
+    ops/csr_grid.make_csr_dma_solver)."""
+    F = int(xs.shape[0])
+    dead_elem = ((F + _ALIGN - 1) // _ALIGN) * _ALIGN
+    pad_n = dead_elem + w_fetch - F
+
+    def pad2d(comp):
+        sent = jnp.full((pad_n,), 1e9, jnp.float32)
+        return jnp.concatenate([jnp.asarray(comp), sent]).reshape(-1, _LANES)
+
+    return pad2d(xs), pad2d(ys), pad2d(zs), dead_elem
+
+
+def slab_queue_host_max(
+    centers: np.ndarray, elong: np.ndarray, starts: np.ndarray,
+    origin: np.ndarray, cell_size: float, dims, window: int,
+) -> int:
+    """Host-side max total chunk count over ``centers`` (sizes the static
+    queue width before the device call).  Mirrors the device queue build
+    below (same slab decomposition, same ceil-div)."""
+    nx, ny, nz = dims
+    c32 = np.asarray(centers, np.float32)
+    e32 = np.asarray(elong, np.float32)
+    o32 = np.asarray(origin, np.float32)
+    cs32 = np.float32(cell_size)
+    # f32 arithmetic in the SAME operation order as the device build, so
+    # the floors agree bit-for-bit; +1 chunk/cell slack and the device
+    # over-flag guard any residual divergence
+    base = np.floor((c32 - o32) / cs32).astype(np.int64)
+    dx_lo = np.floor((c32[:, 0] - e32[0] - o32[0]) / cs32)
+    dx_hi = np.floor((c32[:, 0] + e32[0] - o32[0]) / cs32)
+    cy_lo = np.clip(
+        np.floor((c32[:, 1] - e32[1] - o32[1]) / cs32), 0, ny - 1
+    ).astype(np.int64)
+    cy_hi = np.clip(
+        np.floor((c32[:, 1] + e32[1] - o32[1]) / cs32), 0, ny - 1
+    ).astype(np.int64)
+    tot = np.zeros(centers.shape[0], np.int64)
+    for dx in range(-R_CAP, R_CAP + 1):
+        cxc = base[:, 0] + dx
+        ok = (
+            (cxc >= 0) & (cxc < nx)
+            & (cxc >= dx_lo) & (cxc <= dx_hi)
+            & (cy_hi >= cy_lo)
+        )
+        cxs = np.clip(cxc, 0, nx - 1)
+        st = starts[(cxs * ny + cy_lo) * nz]
+        en = starts[(cxs * ny + cy_hi) * nz + nz]
+        ln = np.where(ok, en - st, 0)
+        tot += -(-ln // window)
+    return int(tot.max()) + 1 if tot.size else 0
+
+
+def make_csr_cell_eval(
+    robot: LegDimensions,
+    k: int,
+    n_quats: int,
+    cells: int,
+    q_steps: int,
+    shared: bool = True,
+    window: int = 1024,
+    interpret: bool = False,
+):
+    """Factory: CSR-streaming cell evaluator for one level shape.
+
+    Static shape knobs (one compiled program per distinct tuple):
+    ``n_quats`` (orientation samples, e.g. 45 or 1), ``cells`` (padded
+    level-chunk size, multiple of 8), ``q_steps`` (padded queue width =
+    pow2 >= n_quats * max chunks per cell).
+
+    Returns ``eval(centers [C,3], parent_valid [C], legtab [S, W],
+    elong [3], xs2, ys2, zs2 (pad_csr_soa), starts, origin,
+    cell_size=, dims=, dead_elem=) -> (valid, edge, leaf)`` with
+    hier_solver._eval_cells flag semantics for the given ``shared`` mode.
+    ``legtab`` comes from :func:`level_tables`.
+    """
+    if window % _LANES:
+        raise ValueError(f"window {window} not a multiple of {_LANES}")
+    if cells % _ROWS:
+        raise ValueError(f"cells {cells} not a multiple of {_ROWS}")
+    L = int(jax.tree.leaves(robot)[0].shape[0])
+    W = table_width(L)
+    S = n_quats
+    legs_const = dist_leg_constants(robot)
+    item_math = make_item_math(legs_const)
+    w_fetch = (-(-window // _ALIGN) + 1) * _ALIGN
+    w_rows = w_fetch // _LANES
+    kf = np.float32(k)
+    Lk = np.float32(L - k)
+
+    def kernel(starts_ref, qinfo_ref, cellinfo_ref, legtab_ref,
+               xs_ref, ys_ref, zs_ref, o_ref, sx, sy, sz, run_ref,
+               acc_ref, sems):
+        s = pl.program_id(1)
+        n_steps = pl.num_programs(1)
+
+        @pl.when(s == 0)
+        def _init():
+            # SMEM accepts scalar stores only
+            for row in range(_ROWS):
+                for j in range(3 * L):
+                    run_ref[row, j] = jnp.int32(0)
+                for j in range(4):
+                    acc_ref[row, j] = jnp.int32(0)
+
+        comps = ((xs_ref, sx, 0), (ys_ref, sy, 1), (zs_ref, sz, 2))
+        for row in range(_ROWS):
+            info = qinfo_ref[row, s]
+            live = (info >> 9) & 1
+            dec = acc_ref[row, 3]
+
+            @pl.when((live != 0) & (dec == 0))
+            def _start(row=row):
+                st = starts_ref[row, s]
+                for src, dst, ci in comps:
+                    pltpu.make_async_copy(
+                        src.at[pl.ds(st, w_rows), :], dst.at[row],
+                        sems.at[ci, row],
+                    ).start()
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+        for row in range(_ROWS):
+            info = qinfo_ref[row, s]
+            live = (info >> 9) & 1
+            endq = (info >> 8) & 1
+            dec = acc_ref[row, 3]
+
+            @pl.when((live != 0) & (dec == 0))
+            def _eval(row=row, info=info, endq=endq):
+                st = starts_ref[row, s]
+                for src, dst, ci in comps:
+                    pltpu.make_async_copy(
+                        src.at[pl.ds(st, w_rows), :], dst.at[row],
+                        sems.at[ci, row],
+                    ).wait()
+                q = info & 0xFF
+                pv = cellinfo_ref[row, 3] > 0.5
+
+                def sH(i, _row=row, _q=q):
+                    if i in (4, 5, 6):  # cell center = item position
+                        return cellinfo_ref[_row, i - 4]
+                    if i == 7:  # parent_valid (shared-mode item term)
+                        return jnp.where(pv, np.float32(1.0),
+                                         np.float32(0.0))
+                    return legtab_ref[_q, i]
+
+                pre, outs = item_math(sH, sx[row], sy[row], sz[row])
+
+                def anyb(v):
+                    return (
+                        jnp.max(v.astype(jnp.float32)) > 0
+                    ).astype(jnp.int32)
+
+                if shared:
+                    rc = cc = None
+                    for okp, crossed in outs:
+                        okf = okp.astype(jnp.float32)
+                        crf = crossed.astype(jnp.float32)
+                        rc = okf if rc is None else rc + okf
+                        cc = crf if cc is None else cc + crf
+                    iv = ((rc >= kf) | pv) & pre
+                    ie = (cc > Lk) & pre
+                    acc_ref[row, 0] = acc_ref[row, 0] | anyb(iv)
+                    acc_ref[row, 1] = acc_ref[row, 1] | anyb(ie)
+                    acc_ref[row, 2] = acc_ref[row, 2] | anyb(iv & ~ie)
+                    acc_ref[row, 3] = (
+                        acc_ref[row, 0] & acc_ref[row, 1] & acc_ref[row, 2]
+                    )
+                else:
+                    for l, (okp, crossed) in enumerate(outs):
+                        run_ref[row, l] = run_ref[row, l] | anyb(okp)
+                        run_ref[row, L + l] = run_ref[row, L + l] | anyb(
+                            okp & ~crossed
+                        )
+                        run_ref[row, 2 * L + l] = run_ref[
+                            row, 2 * L + l
+                        ] | anyb(okp | crossed)
+
+                    @pl.when(endq != 0)
+                    def _finalize(row=row):
+                        cnt = nmin = nmax = jnp.int32(0)
+                        for l in range(L):
+                            cnt = cnt + run_ref[row, l]
+                            nmin = nmin + run_ref[row, L + l]
+                            nmax = nmax + run_ref[row, 2 * L + l]
+                        valid_q = (cnt >= k).astype(jnp.int32)
+                        edge_q = ((nmin < k) & (nmax >= k)).astype(
+                            jnp.int32
+                        )
+                        acc_ref[row, 0] = acc_ref[row, 0] | valid_q
+                        acc_ref[row, 1] = acc_ref[row, 1] | edge_q
+                        # decided: final valid (incl. parent_valid, an
+                        # XLA-side OR) and edge both settled -> leaf is
+                        # forced false; later quats cannot change flags
+                        pv_i = (cellinfo_ref[row, 3] > 0.5).astype(
+                            jnp.int32
+                        )
+                        acc_ref[row, 3] = (
+                            acc_ref[row, 0] | pv_i
+                        ) & acc_ref[row, 1]
+                        for l in range(3 * L):
+                            run_ref[row, l] = jnp.int32(0)
+
+        @pl.when(s == n_steps - 1)
+        def _emit():
+            for row in range(_ROWS):
+                o_ref[row : row + 1, :] = (
+                    (lane == 0).astype(jnp.int32) * acc_ref[row, 0]
+                    + (lane == 1).astype(jnp.int32) * acc_ref[row, 1]
+                    + (lane == 2).astype(jnp.int32) * acc_ref[row, 2]
+                )
+
+    @partial(jax.jit, static_argnames=("cell_size", "dims", "dead_elem"))
+    def eval_fn(
+        centers, parent_valid, legtab, elong, xs2, ys2, zs2, starts,
+        origin, cell_size: float, dims: tuple, dead_elem: int,
+    ):
+        C = cells
+        nx, ny, nz = dims
+        cs = jnp.float32(cell_size)
+        base = jnp.floor((centers - origin) / cs).astype(jnp.int32)
+
+        # per-cell x-slab CSR ranges: for fixed x-cell, (y-range x all z)
+        # is one contiguous CSR slice (z-fastest sort)
+        dx_lo = jnp.floor(
+            (centers[:, 0] - elong[0] - origin[0]) / cs
+        ).astype(jnp.int32)
+        dx_hi = jnp.floor(
+            (centers[:, 0] + elong[0] - origin[0]) / cs
+        ).astype(jnp.int32)
+        cy_lo = jnp.clip(
+            jnp.floor(
+                (centers[:, 1] - elong[1] - origin[1]) / cs
+            ).astype(jnp.int32), 0, ny - 1,
+        )
+        cy_hi = jnp.clip(
+            jnp.floor(
+                (centers[:, 1] + elong[1] - origin[1]) / cs
+            ).astype(jnp.int32), 0, ny - 1,
+        )
+        sts, lens = [], []
+        for dx in range(-R_CAP, R_CAP + 1):
+            cxc = base[:, 0] + dx
+            ok = (
+                (cxc >= 0) & (cxc < nx)
+                & (cxc >= dx_lo) & (cxc <= dx_hi)
+                & (cy_hi >= cy_lo)
+            )
+            cxs = jnp.clip(cxc, 0, nx - 1)
+            st = starts[(cxs * ny + cy_lo) * nz]
+            en = starts[(cxs * ny + cy_hi) * nz + nz]
+            sts.append(st)
+            lens.append(jnp.where(ok, en - st, 0))
+        slab_st = jnp.stack(sts, axis=1)  # [C, 2R+1]
+        slab_len = jnp.stack(lens, axis=1)
+        w32 = jnp.int32(window)
+        chunks = (slab_len + (w32 - 1)) // w32
+        cum = jnp.cumsum(chunks, axis=1)
+        tot = cum[:, -1:]  # [C, 1]
+        totc = jnp.maximum(tot, 1)
+
+        t = jnp.arange(q_steps, dtype=jnp.int32)[None, :]  # [1, Q]
+        qidx = t // totc  # [C, Q]
+        cidx = t - qidx * totc
+        live = (t < tot * jnp.int32(S)).astype(jnp.int32)
+        slab = jnp.sum(
+            (cum[:, None, :] <= cidx[:, :, None]).astype(jnp.int32), -1
+        )
+        slabc = jnp.minimum(slab, 2 * R_CAP)
+        prev = jnp.where(
+            slabc > 0,
+            jnp.take_along_axis(cum, jnp.maximum(slabc - 1, 0), 1), 0,
+        )
+        within = cidx - prev
+        raw = jnp.take_along_axis(slab_st, slabc, 1) + within * w32
+        dead = jnp.int32(dead_elem)
+        start_rows = (
+            jnp.where(live != 0, jnp.clip(raw, 0, dead), dead)
+            // _ALIGN
+        ) * (_ALIGN // _LANES)
+        endq = (cidx == tot - 1).astype(jnp.int32)
+        qinfo = (
+            jnp.minimum(qidx, S - 1)
+            | (endq << 8)
+            | (live << 9)
+        ).astype(jnp.int32)
+
+        cellinfo = jnp.concatenate(
+            [centers.astype(jnp.float32),
+             parent_valid[:, None].astype(jnp.float32)], axis=1,
+        )  # [C, 4]
+
+        smem_q = pl.BlockSpec((_ROWS, q_steps), lambda i, s: (i, 0),
+                              memory_space=pltpu.SMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(C // _ROWS, q_steps),
+            in_specs=[
+                smem_q,
+                smem_q,
+                pl.BlockSpec((_ROWS, 4), lambda i, s: (i, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((S, W), lambda i, s: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((_ROWS, _LANES), lambda i, s: (i, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((_ROWS, w_rows, _LANES), jnp.float32),
+                pltpu.VMEM((_ROWS, w_rows, _LANES), jnp.float32),
+                pltpu.VMEM((_ROWS, w_rows, _LANES), jnp.float32),
+                pltpu.SMEM((_ROWS, 3 * L), jnp.int32),
+                pltpu.SMEM((_ROWS, 4), jnp.int32),
+                pltpu.SemaphoreType.DMA((3, _ROWS)),
+            ],
+        )
+        lanes = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((C, _LANES), jnp.int32),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(start_rows, qinfo, cellinfo, legtab, xs2, ys2, zs2)
+
+        valid = lanes[:, 0] > 0
+        edge = lanes[:, 1] > 0
+        if shared:
+            leaf = lanes[:, 2] > 0
+        else:
+            valid = valid | parent_valid
+            leaf = valid & jnp.logical_not(edge)
+        # queue truncation guard: q_steps must cover S * chunks for every
+        # cell (sized host-side via slab_queue_host_max; this flag catches
+        # any residual host/device floor divergence)
+        over = jnp.any(tot * jnp.int32(S) > jnp.int32(q_steps))
+        return valid, edge, leaf, over
+
+    return eval_fn
+
+
+def level_tables(
+    quats, half, parent_half, robot: LegDimensions, margin: float,
+    reach: float,
+):
+    """``[S, W]`` per-orientation tables for :func:`make_csr_cell_eval`.
+
+    The leg workspace blocks depend only on the orientation — not the
+    cell — so one row per quat serves every cell of the level; the
+    kernel reads the cell position/parent-valid from its own SMEM
+    operand instead of the table's body/pv lanes (zeroed here)."""
+    S = quats.shape[0]
+    return oriented_dist_tables(
+        jnp.zeros((S, 3), jnp.float32), jnp.asarray(quats),
+        jnp.zeros((S,), bool), jnp.asarray(half),
+        jnp.asarray(parent_half), robot, margin, reach,
+    )

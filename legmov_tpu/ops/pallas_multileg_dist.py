@@ -118,41 +118,11 @@ def _bsel(c, a, b):
     return (c & a) | (~c & b)
 
 
-def make_multileg_distance_kernel(
-    robot: LegDimensions, cand_cols: int, k: int,
-    interpret: bool = False,
-):
-    """Kernel factory: full fused ``validity_child`` item evaluation.
-
-    Returns jitted ``fn(tab [P, W], gx, gy, gz [P, C]) -> out [P, 128]
-    int32`` where (gx, gy, gz) are candidate foothold WORLD coordinates
-    per pose item (sentinel-padded) and lanes of ``out`` hold accumulated
-    whole-row reductions:
-
-    * lane ``l``            (l < L): leg l has some candidate with
-      ``ok & pre`` (the per-leg "any reachable foothold" bit);
-    * lane ``L + l``:  leg l has some candidate ``ok & ~cross & pre``
-      (certainly-valid across the cell, per-leg-rule edge bands);
-    * lane ``2L + l``: leg l has some candidate ``(ok | cross) & pre``;
-    * lane ``3L``: some candidate item is valid
-      (``(reach_count >= k) | parent_valid``) under ``pre``;
-    * lane ``3L + 1``: some item is on-edge
-      (``cross_count > L - k``) under ``pre``;
-    * lane ``3L + 2``: some item is a valid non-edge leaf.
-
-    Semantics: ops/distance.py ``distance_xyz`` + the orientation layer +
-    hier_solver._eval_cells item logic, with per-pose tables from
-    :func:`oriented_dist_tables`.
-    """
+def dist_leg_constants(robot: LegDimensions) -> list[dict]:
+    """Orientation-independent per-leg immediates for the fused
+    distance item pipeline (baked as Python floats into kernels)."""
     L = int(jax.tree.leaves(robot)[0].shape[0])
-    W = table_width(L)
-    if cand_cols % _LANES:
-        raise ValueError(f"cand_cols {cand_cols} not a multiple of {_LANES}")
-    margin_c = np.float32(0.001)
-    big = np.float32(3.4e38)
     half_pi = float(_PI) / 2.0
-
-    # orientation-independent immediates per leg
     legs_const = []
     for i in range(L):
         leg = jax.tree.map(lambda x: np.asarray(x)[i], robot)
@@ -190,6 +160,15 @@ def make_multileg_distance_kernel(
             )
         )
 
+    return legs_const
+
+
+def make_item_math(legs_const: list[dict]):
+    """Build the getter-based fused ``validity_child`` item pipeline
+    (see ``item_math`` docstring) for baked per-leg constants."""
+    margin_c = np.float32(0.001)
+    big = np.float32(3.4e38)
+
     def _agt_dyn(ax, ay, cos_t, sin_t, neg: bool):
         pos = (ay * cos_t - ax * sin_t) > 0
         nn = ay >= 0
@@ -200,14 +179,19 @@ def make_multileg_distance_kernel(
         ng = (ay * cos_t - ax * sin_t) < 0
         return (below & ng) if neg else (below | ng)
 
-    def kernel(tab_ref, x_ref, y_ref, z_ref, o_ref):
-        def s(i):
-            return tab_ref[:, i : i + 1]  # [8, 1]
+    def item_math(s, x_in, y_in, z_in):
+        """Full fused ``validity_child`` per-item pipeline, getter-based.
 
+        ``s(i)`` returns the per-item scalar at index ``i`` of the
+        :func:`oriented_dist_tables` layout (broadcastable against the
+        candidate tile); ``x/y/z_in`` are candidate WORLD coordinates.
+        Returns ``(pre, outs)`` where ``outs[l] = (okp, crossed)`` per
+        leg — shared by the dense-tile kernel below and the CSR
+        streaming cell evaluator (ops/csr_cell_eval.py)."""
         # candidate relative position, body frame
-        rx = x_ref[...] - s(4)
-        ry = y_ref[...] - s(5)
-        rz = z_ref[...] - s(6)
+        rx = x_in - s(4)
+        ry = y_in - s(5)
+        rz = z_in - s(6)
         w = s(0)
         ux, uy, uz = -s(1), -s(2), -s(3)
         tx = 2.0 * (uy * rz - uz * ry)
@@ -223,19 +207,16 @@ def make_multileg_distance_kernel(
             & (ry > -s(14)) & (ry <= s(14))
             & (rz > -s(15)) & (rz <= s(15))
         )
-        pvalid = s(7) > 0.5
         hmx, hmy, hmz = s(8), s(9), s(10)
         h2m = s(11)
         bigc = s(12) > 0.5
 
-        reach_cnt = None
-        cross_cnt = None
         outs = []
         for l, c in enumerate(legs_const):
             off = _HDR + l * LEG_BLOCK
 
             def ls(i, _off=off):
-                return tab_ref[:, _off + i : _off + i + 1]
+                return s(_off + i)
 
             # yaw to "as if leg 0", then coxa frame
             x0 = vx * c["ca"] - vy * c["sa"]
@@ -431,6 +412,53 @@ def make_multileg_distance_kernel(
             crossed = _bsel(bigc, cross_big, cross_small) & pre
             okp = ok & pre
             outs.append((okp, crossed))
+        return pre, outs
+
+    return item_math
+
+
+def make_multileg_distance_kernel(
+    robot: LegDimensions, cand_cols: int, k: int,
+    interpret: bool = False,
+):
+    """Kernel factory: full fused ``validity_child`` item evaluation.
+
+    Returns jitted ``fn(tab [P, W], gx, gy, gz [P, C]) -> out [P, 128]
+    int32`` where (gx, gy, gz) are candidate foothold WORLD coordinates
+    per pose item (sentinel-padded) and lanes of ``out`` hold accumulated
+    whole-row reductions:
+
+    * lane ``l``            (l < L): leg l has some candidate with
+      ``ok & pre`` (the per-leg "any reachable foothold" bit);
+    * lane ``L + l``:  leg l has some candidate ``ok & ~cross & pre``
+      (certainly-valid across the cell, per-leg-rule edge bands);
+    * lane ``2L + l``: leg l has some candidate ``(ok | cross) & pre``;
+    * lane ``3L``: some candidate item is valid
+      (``(reach_count >= k) | parent_valid``) under ``pre``;
+    * lane ``3L + 1``: some item is on-edge
+      (``cross_count > L - k``) under ``pre``;
+    * lane ``3L + 2``: some item is a valid non-edge leaf.
+
+    Semantics: ops/distance.py ``distance_xyz`` + the orientation layer +
+    hier_solver._eval_cells item logic, with per-pose tables from
+    :func:`oriented_dist_tables`.
+    """
+    L = int(jax.tree.leaves(robot)[0].shape[0])
+    W = table_width(L)
+    if cand_cols % _LANES:
+        raise ValueError(f"cand_cols {cand_cols} not a multiple of {_LANES}")
+    legs_const = dist_leg_constants(robot)
+    item_math = make_item_math(legs_const)
+
+    def kernel(tab_ref, x_ref, y_ref, z_ref, o_ref):
+        def s(i):
+            return tab_ref[:, i : i + 1]  # [8, 1]
+
+        pre, outs = item_math(s, x_ref[...], y_ref[...], z_ref[...])
+        pvalid = s(7) > 0.5
+        reach_cnt = None
+        cross_cnt = None
+        for okp, crossed in outs:
             okf = okp.astype(jnp.float32)
             crf = crossed.astype(jnp.float32)
             reach_cnt = okf if reach_cnt is None else reach_cnt + okf

@@ -1,0 +1,117 @@
+"""CSR-streaming hierarchical cell evaluator exactness (interpret mode).
+
+The streaming evaluator (ops/csr_cell_eval.py) must reproduce the dense
+reference evaluator hier_solver._eval_cells bit-for-bit: same ``pre``
+box, same fused validity_child item math (shared via
+pallas_multileg_dist.make_item_math), per-quat in-kernel finalization
+and the early-exit skip must be invisible in the flags.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from legmov_tpu.config import SolverConfig
+from legmov_tpu.models.hier_solver import _eval_cells, solve_positionability
+from legmov_tpu.models.robot import get_moonbot_robot
+from legmov_tpu.ops import quaternion as quat
+from legmov_tpu.ops.csr_cell_eval import (
+    _ALIGN,
+    level_tables,
+    make_csr_cell_eval,
+    pad_csr_soa,
+    slab_queue_host_max,
+)
+from legmov_tpu.ops.csr_grid import build_csr_grid
+
+
+@pytest.mark.parametrize("shared", (True, False))
+def test_csr_cell_eval_matches_dense(shared):
+    rng = np.random.default_rng(0)
+    robot = get_moonbot_robot()
+    reach = 711.0
+    fh = rng.uniform(-1500, 1500, (4000, 3)).astype(np.float32)
+    fh[:, 2] = rng.uniform(-200, -100, 4000)
+    csr = build_csr_grid(fh, 400.0)
+
+    S = 5
+    rpy = rng.uniform(-0.3, 0.3, (S, 3)).astype(np.float32)
+    quats = np.array(
+        quat.from_rpy(rpy[:, 0], rpy[:, 1], rpy[:, 2]), np.float32
+    )
+    quats[0] = [1, 0, 0, 0]
+
+    C = 16
+    centers = rng.uniform(-1200, 1200, (C, 3)).astype(np.float32)
+    centers[:, 2] = rng.uniform(50, 150, C)
+    pv = rng.random(C) < 0.3
+    half = np.asarray([40.0, 40.0, 40.0], np.float32)
+    parent_half = np.asarray([80.0, 80.0, 80.0], np.float32)
+    margin, k = 16.0, 3
+    elong = parent_half + np.float32(reach)
+
+    window = 256
+    w_fetch = (-(-window // _ALIGN) + 1) * _ALIGN
+    xs2, ys2, zs2, dead = pad_csr_soa(csr.xs, csr.ys, csr.zs, w_fetch)
+    maxch = slab_queue_host_max(
+        centers, elong, np.asarray(csr.starts), np.asarray(csr.origin),
+        csr.cell_size, csr.dims, window,
+    )
+    q_steps = 1 << (S * maxch - 1).bit_length()
+
+    ev = make_csr_cell_eval(
+        robot, k=k, n_quats=S, cells=C, q_steps=q_steps, shared=shared,
+        window=window, interpret=True,
+    )
+    legtab = level_tables(
+        jnp.asarray(quats), jnp.asarray(half), jnp.asarray(parent_half),
+        robot, margin, reach,
+    )
+    v, e, lf, over = ev(
+        jnp.asarray(centers), jnp.asarray(pv), legtab, jnp.asarray(elong),
+        xs2, ys2, zs2, csr.starts, csr.origin, cell_size=csr.cell_size,
+        dims=csr.dims, dead_elem=dead,
+    )
+    vw, ew, lw = _eval_cells(
+        jnp.asarray(centers), jnp.asarray(pv), jnp.asarray(half),
+        jnp.asarray(parent_half), jnp.asarray(fh), jnp.asarray(quats),
+        robot, k=k, margin=margin, reach=reach, chunk=500, use_rot=True,
+        shared=shared,
+    )
+    assert not bool(np.asarray(over))
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(vw))
+    np.testing.assert_array_equal(np.asarray(e), np.asarray(ew))
+    np.testing.assert_array_equal(np.asarray(lf), np.asarray(lw))
+    # sanity: the draw must set some flags (the exactness contract is
+    # the dense-path equality above)
+    assert np.asarray(vw).sum() > 0
+    assert np.asarray(ew).sum() > 0
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("shared", (True, False))
+def test_solve_positionability_csr_matches_dense(shared):
+    """End-to-end: the whole breadth-first solve with CSR-streaming
+    rot levels returns the identical CellRecord as the dense path."""
+    rng = np.random.default_rng(7)
+    fh = rng.uniform(-700, 700, (800, 3)).astype(np.float32)
+    fh[:, 2] = rng.uniform(-180, -100, 800)
+    robot = get_moonbot_robot()
+    cfg = SolverConfig(
+        box_center=(0.0, 0.0, 0.0), box_size=(600.0, 600.0, 150.0),
+        min_box=(80.0, 80.0, 80.0), max_depth=2, legs_for_stability=2,
+        enable_rot_below=200.0, angle_samples=(2, 1, 1),
+    )
+    a = solve_positionability(
+        fh, robot, cfg, chunk=128, cell_batch=64, shared_foothold=shared,
+        candidates="dense", use_pallas="off",
+    )
+    b = solve_positionability(
+        fh, robot, cfg, chunk=128, cell_batch=64, shared_foothold=shared,
+        candidates="csr", use_pallas="off", csr_window=128,
+        csr_cell_chunk=32,
+    )
+    np.testing.assert_array_equal(a.centers, b.centers)
+    np.testing.assert_array_equal(a.valid, b.valid)
+    np.testing.assert_array_equal(a.edge, b.edge)
+    np.testing.assert_array_equal(a.depth, b.depth)

@@ -104,3 +104,47 @@ def test_csr_dma_solver_lowers():
         ),
         body, quats, xs, xs, xs, starts, jnp.zeros(3, jnp.float32), cols,
     )
+
+
+def test_csr_cell_eval_lowers():
+    """The CSR-streaming cell evaluator must pass Mosaic TPU lowering
+    (SMEM quat tables, per-row DMA, SMEM scratch state) on both mode
+    variants."""
+    from legmov_tpu.ops.csr_cell_eval import (
+        _ALIGN,
+        level_tables,
+        make_csr_cell_eval,
+        pad_csr_soa,
+    )
+    from legmov_tpu.ops.csr_grid import build_csr_grid
+    from legmov_tpu.ops import quaternion as quat
+
+    robot = get_moonbot_robot()
+    rng = np.random.default_rng(0)
+    fh = rng.uniform(-1500, 1500, (2000, 3)).astype(np.float32)
+    csr = build_csr_grid(fh, 500.0)
+    window = 256
+    w_fetch = (-(-window // _ALIGN) + 1) * _ALIGN
+    xs2, ys2, zs2, dead = pad_csr_soa(csr.xs, csr.ys, csr.zs, w_fetch)
+    S, C, Q = 5, 16, 64
+    rpy = rng.uniform(-0.2, 0.2, (S, 3)).astype(np.float32)
+    quats = np.asarray(quat.from_rpy(rpy[:, 0], rpy[:, 1], rpy[:, 2]))
+    half = jnp.asarray([40.0, 40.0, 40.0])
+    phalf = jnp.asarray([80.0, 80.0, 80.0])
+    legtab = level_tables(jnp.asarray(quats), half, phalf, robot, 16.0, 711.0)
+    centers = jnp.asarray(
+        rng.uniform(-1200, 1200, (C, 3)).astype(np.float32)
+    )
+    pv = jnp.zeros(C, bool)
+    elong = jnp.asarray(phalf + 711.0)
+    for shared in (True, False):
+        ev = make_csr_cell_eval(
+            robot, k=3, n_quats=S, cells=C, q_steps=Q, shared=shared,
+            window=window,
+        )
+        jax.jit(
+            lambda c, p, lt: ev(
+                c, p, lt, elong, xs2, ys2, zs2, csr.starts, csr.origin,
+                cell_size=csr.cell_size, dims=csr.dims, dead_elem=dead,
+            )
+        ).trace(centers, pv, legtab).lower(lowering_platforms=("tpu",))
