@@ -439,6 +439,7 @@ def solve_positionability(
     import time as _time
 
     profile = profile or bool(_os.environ.get("LEGMOV_HIER_PROFILE"))
+    _t_solve0 = _time.perf_counter()
     k = cfg.legs_for_stability
     reach = _total_reach(robot)
     quats = jnp.asarray(orientation_samples(cfg))
@@ -522,6 +523,14 @@ def solve_positionability(
             interp=jax.default_backend() != "tpu",
         )
 
+    if profile:
+        print(
+            f"[hier] setup done at +{_time.perf_counter() - _t_solve0:.2f}s "
+            f"(factories + foothold upload"
+            f"{' + csr grid' if csr_env is not None else ''})",
+            flush=True,
+        )
+
     out: list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]] = []
 
     centers = np.asarray([cfg.box_center], _f32)
@@ -568,6 +577,13 @@ def solve_positionability(
             cells_pad = max(
                 8, min(csr_cell_chunk, 1 << (max(C - 1, 1)).bit_length())
             )
+            if profile:
+                print(
+                    f"[hier] depth={depth} csr level start at "
+                    f"+{_time.perf_counter() - _t_solve0:.2f}s "
+                    f"(maxch={maxch})",
+                    flush=True,
+                )
             key = (S, cells_pad, q_steps)
             if key not in csr_env["fns"]:
                 csr_env["fns"][key] = csr_env["make_eval"](
