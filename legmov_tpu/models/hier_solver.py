@@ -403,7 +403,7 @@ def solve_positionability(
     use_pallas: str = "auto",
     profile: bool = False,
     candidates: str = "auto",
-    csr_window: int = 1024,
+    csr_window: int = 2048,
     csr_cell_chunk: int = 8192,
 ) -> CellRecord:
     """Breadth-first hierarchical positionability solve.
@@ -502,6 +502,7 @@ def solve_positionability(
         from legmov_tpu.ops.csr_cell_eval import (
             _ALIGN as _CSR_ALIGN,
             R_CAP,
+            ball_mask_params,
             level_tables,
             make_csr_cell_eval,
             pad_csr_soa,
@@ -520,6 +521,7 @@ def solve_positionability(
             starts_h=np.asarray(csr.starts), fns={},
             R_CAP=R_CAP, level_tables=level_tables,
             make_eval=make_csr_cell_eval, host_max=slab_queue_host_max,
+            ball_params=ball_mask_params,
             interp=jax.default_backend() != "tpu",
         )
 
@@ -596,6 +598,9 @@ def solve_positionability(
                 quats, jnp.asarray(child_half), jnp.asarray(half),
                 robot, float(margin), reach,
             )
+            rmounts, reach_l_d, r_cell = csr_env["ball_params"](
+                quats, robot, child_half, float(margin)
+            )
             elong_d = jnp.asarray(elong_np)
             t_disp0 = _time.perf_counter()
             pending_c = []
@@ -611,6 +616,7 @@ def solve_positionability(
                 )
                 v, ed, lf, over = ev_csr(
                     jnp.asarray(cc), jnp.asarray(pv), legtab, elong_d,
+                    rmounts, reach_l_d, r_cell,
                     csr_env["xs2"], csr_env["ys2"], csr_env["zs2"],
                     csr.starts, csr.origin, cell_size=csr.cell_size,
                     dims=csr.dims, dead_elem=csr_env["dead_elem"],

@@ -1,4 +1,4 @@
-"""CSR-streaming hierarchical cell evaluator with in-kernel quat early exit.
+"""CSR-streaming hierarchical cell evaluator with role-masked early exit.
 
 The hierarchical solver's deep (orientation-active) levels dominate its
 wall time.  The dense evaluators (models/hier_solver._eval_cells and the
@@ -18,27 +18,43 @@ for cells instead of poses:
 * ONE ``pallas_call`` evaluates a whole level chunk: grid =
   (cell tiles, queue steps), the queue quat-major per cell; candidate
   windows stream HBM->VMEM with ``pltpu.make_async_copy`` per row;
-* per-quat finalization runs IN-KERNEL (SMEM running state), and a cell
-  whose output flags are DECIDED skips every remaining (quat, chunk)
-  step.  Exact by monotonicity: valid/edge (and shared-mode leaf) only
-  accumulate over quats, and per-leg leaf is derived as
-  ``valid & ~edge`` — once valid and edge are both set, no later quat
-  can change any returned flag.  Most deep cells decide within the
-  first few middle-first orientation samples, so this cuts the
-  45-sample sweep to a data-dependent handful per cell;
+* every (slab, quat) chunk carries ROLE MASKS derived from exact
+  reach-ball geometry: a candidate can be *reachable* by leg ``l`` only
+  inside the ball of radius ``reach_l`` around the quat-rotated mount
+  point, and *boundary-crossing* only inside that ball inflated by the
+  cell circumradius (the workspace is bounded by arm's length; the
+  crossing test bounds the candidate's distance to the workspace
+  boundary by the cell radius).  From ball-vs-slab-box tests the queue
+  packs per-chunk bits: which legs can cross (``infl``), whether a
+  SHARED-valid item is possible (``V``: >= k legs' reach balls hit the
+  box), whether an edge item is possible (``E``: > L-k inflated balls
+  hit);
+* the kernel SKIPS chunks that cannot change the cell's remaining
+  undecided flags and skips masked-out legs inside evaluated chunks.
+  In shared mode an infeasible-but-edge cell (the dominant population
+  of a deep solve) stops after its first crossing candidate: its valid/
+  leaf flags can only come from ``V`` chunks — the tiny multi-ball
+  intersection region — instead of the whole elongated box.  Exact by
+  monotonicity + the superset property of the ball masks (verified
+  against the oracle pipeline: reachable candidates sit >= 0.07 mm
+  inside ``reach_l``, crossing candidates >= 0.5 mm inside
+  ``reach_l + r_cell``; masks add a +2 mm slack on top);
+* per-quat finalization runs IN-KERNEL (SMEM running state) regardless
+  of chunk skips, and a cell whose output flags are DECIDED skips every
+  remaining (quat, chunk) step;
 * the per-quat workspace tables ride in SMEM ONCE per level
   (``[S, W]``): they depend only on the orientation, not the cell — the
   dense path re-materializes them per (cell, quat) row.
 
 Exactness: the slab set covers the elongated box (superset); every
 streamed candidate is a real foothold or the far sentinel; the in-kernel
-``pre`` test is the same exact box test the dense path applies per item,
-so extra streamed points (window tails, align-down widening, z overfetch)
-contribute exactly nothing.  Flags match the dense evaluators bit-for-bit
-(tests/test_csr_cell_eval.py).
+``pre`` test is the same exact box test the dense path applies per item;
+the ball masks are supersets of where ok/crossed can hold, so skipped
+chunks and masked-out legs contribute exactly nothing.  Flags match the
+dense evaluators bit-for-bit (tests/test_csr_cell_eval.py).
 
 Reference anchor: several_leg_octree.cu:19-151 ``validity_child`` item
-semantics (via the shared ops/pallas_multileg_dist.make_item_math);
+semantics (via the shared ops/pallas_multileg_dist.make_item_parts);
 octree_util.cu.h:153-159 ``isInBox`` prefilter.
 """
 
@@ -55,7 +71,7 @@ from jax.experimental.pallas import tpu as pltpu
 from legmov_tpu.models.leg import LegDimensions
 from legmov_tpu.ops.pallas_multileg_dist import (
     dist_leg_constants,
-    make_item_math,
+    make_item_parts,
     oriented_dist_tables,
     table_width,
 )
@@ -67,6 +83,11 @@ _ALIGN = 8 * _LANES  # DMA start/shape quantum for [rows, 128] f32 (ops/csr_grid
 #: static x-slab offset cap: levels whose elongated box spans more than
 #: 2*R_CAP+1 grid cells per axis fall back to the dense evaluators
 R_CAP = 6
+
+#: ball-mask slack (mm) absorbing fp32 rounding of the mask tests and of
+#: the distance pipeline whose outputs they bound (measured headroom
+#: without slack: >= 0.07 mm; see module docstring)
+_BALL_EPS = np.float32(2.0)
 
 
 def pad_csr_soa(xs, ys, zs, w_fetch: int):
@@ -127,6 +148,34 @@ def slab_queue_host_max(
     return int(tot.max()) + 1 if tot.size else 0
 
 
+def ball_mask_params(quats, robot: LegDimensions, half, margin: float):
+    """Role-mask geometry for :func:`make_csr_cell_eval`'s ``eval``.
+
+    Returns ``(rmounts [S, L, 3], reach_l [L], r_cell scalar)``: the
+    quat-rotated leg mount vectors, per-leg reach-ball radii (coxa +
+    femur + tibia — every workspace point is within arm's length of the
+    mount), and the crossing inflation radius (cell circumradius under
+    BOTH crossing branches: the sphere test ``dv2 < h2 + margin`` and
+    the box test ``|dv| <= half + margin``) plus the fp32 slack."""
+    from legmov_tpu.ops import quaternion as _quat
+    from legmov_tpu.ops.solve_schedule import robot_geometry
+
+    mount_vec, reach_l = robot_geometry(robot)
+    q = jnp.asarray(quats)
+    rmounts = jax.vmap(
+        lambda qq: jax.vmap(lambda m: _quat.rotate(qq, m))(
+            jnp.asarray(mount_vec)
+        )
+    )(q)  # [S, L, 3]
+    h = np.asarray(half, np.float32)
+    hm = h + np.float32(margin)
+    h2m = float(np.sum(h * h) + np.float32(margin))
+    r_cell = np.float32(
+        np.sqrt(max(h2m, float(np.sum(hm * hm)))) + _BALL_EPS
+    )
+    return rmounts, jnp.asarray(reach_l, jnp.float32), r_cell
+
+
 def make_csr_cell_eval(
     robot: LegDimensions,
     k: int,
@@ -134,39 +183,43 @@ def make_csr_cell_eval(
     cells: int,
     q_steps: int,
     shared: bool = True,
-    window: int = 1024,
+    window: int = 2048,
     interpret: bool = False,
 ):
     """Factory: CSR-streaming cell evaluator for one level shape.
 
     Static shape knobs (one compiled program per distinct tuple):
-    ``n_quats`` (orientation samples, e.g. 45 or 1), ``cells`` (padded
+    ``n_quats`` (orientation samples, e.g. 27 or 1), ``cells`` (padded
     level-chunk size, multiple of 8), ``q_steps`` (padded queue width =
     pow2 >= n_quats * max chunks per cell).
 
     Returns ``eval(centers [C,3], parent_valid [C], legtab [S, W],
-    elong [3], xs2, ys2, zs2 (pad_csr_soa), starts, origin,
-    cell_size=, dims=, dead_elem=) -> (valid, edge, leaf)`` with
-    hier_solver._eval_cells flag semantics for the given ``shared`` mode.
-    ``legtab`` comes from :func:`level_tables`.
+    elong [3], rmounts [S, L, 3], reach_l [L], r_cell, xs2, ys2, zs2
+    (pad_csr_soa), starts, origin, cell_size=, dims=, dead_elem=) ->
+    (valid, edge, leaf, over)`` with hier_solver._eval_cells flag
+    semantics for the given ``shared`` mode.  ``legtab`` comes from
+    :func:`level_tables`; the ball-mask args from
+    :func:`ball_mask_params`.
     """
     if window % _LANES:
         raise ValueError(f"window {window} not a multiple of {_LANES}")
     if cells % _ROWS:
         raise ValueError(f"cells {cells} not a multiple of {_ROWS}")
     L = int(jax.tree.leaves(robot)[0].shape[0])
+    if L > 6:
+        raise ValueError("qinfo packs at most 6 leg bits")
     W = table_width(L)
     S = n_quats
     legs_const = dist_leg_constants(robot)
-    item_math = make_item_math(legs_const)
+    head_fn, leg_evals = make_item_parts(legs_const)
     w_fetch = (-(-window // _ALIGN) + 1) * _ALIGN
     w_rows = w_fetch // _LANES
     kf = np.float32(k)
     Lk = np.float32(L - k)
 
     def kernel(starts_ref, qinfo_ref, cellinfo_ref, legtab_ref,
-               xs_ref, ys_ref, zs_ref, o_ref, sx, sy, sz, run_ref,
-               acc_ref, sems):
+               xs_ref, ys_ref, zs_ref, o_ref, sx, sy, sz, rc_ref, cc_ref,
+               run_ref, acc_ref, sems):
         s = pl.program_id(1)
         n_steps = pl.num_programs(1)
 
@@ -179,13 +232,45 @@ def make_csr_cell_eval(
                 for j in range(4):
                     acc_ref[row, j] = jnp.int32(0)
 
+        def step_flags(row):
+            info = qinfo_ref[row, s]
+            return (
+                (info >> 9) & 1,   # live
+                (info >> 8) & 1,   # endq (last chunk of this quat)
+                info & 0xFF,       # quat index
+                (info >> 10) & 0x3F,  # inflated-ball leg bits
+                (info >> 16) & 1,  # V: shared-valid item possible
+                (info >> 17) & 1,  # E: edge item possible
+            )
+
+        def useful_mask(row, live, infl, vbit, ebit):
+            """Scalar: can this chunk still change row's flags, and the
+            per-leg evaluation mask.  Skips are exact: V/E/infl are
+            supersets of where valid/edge items and per-leg ok/crossed
+            candidates can exist, and all accumulators are monotone."""
+            if shared:
+                pv_i = (cellinfo_ref[row, 3] > 0.5).astype(jnp.int32)
+                need_v = (acc_ref[row, 0] & acc_ref[row, 2]) ^ 1
+                u = ((vbit | pv_i) & need_v) | (
+                    ebit & (acc_ref[row, 1] ^ 1)
+                )
+                return live & u, infl
+            need = jnp.int32(0)
+            for l in range(L):
+                # leg settled once any-reach AND certain are both seen
+                # (possible is implied by certain)
+                settled = run_ref[row, l] & run_ref[row, L + l]
+                need = need | ((settled ^ 1) << l)
+            m = infl & need
+            dec = acc_ref[row, 3]
+            return live & (dec ^ 1) & (m != 0).astype(jnp.int32), m
+
         comps = ((xs_ref, sx, 0), (ys_ref, sy, 1), (zs_ref, sz, 2))
         for row in range(_ROWS):
-            info = qinfo_ref[row, s]
-            live = (info >> 9) & 1
-            dec = acc_ref[row, 3]
+            live, endq, q, infl, vbit, ebit = step_flags(row)
+            useful, _ = useful_mask(row, live, infl, vbit, ebit)
 
-            @pl.when((live != 0) & (dec == 0))
+            @pl.when(useful != 0)
             def _start(row=row):
                 st = starts_ref[row, s]
                 for src, dst, ci in comps:
@@ -196,20 +281,24 @@ def make_csr_cell_eval(
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
         for row in range(_ROWS):
-            info = qinfo_ref[row, s]
-            live = (info >> 9) & 1
-            endq = (info >> 8) & 1
-            dec = acc_ref[row, 3]
+            live, endq, q, infl, vbit, ebit = step_flags(row)
+            # identical state to the start loop: each row only mutates
+            # its own refs, and only in its own _eval below
+            useful, m = useful_mask(row, live, infl, vbit, ebit)
 
-            @pl.when((live != 0) & (dec == 0))
-            def _eval(row=row, info=info, endq=endq):
+            def anyb(v):
+                return (
+                    jnp.max(v.astype(jnp.float32)) > 0
+                ).astype(jnp.int32)
+
+            @pl.when(useful != 0)
+            def _eval(row=row, q=q, m=m):
                 st = starts_ref[row, s]
                 for src, dst, ci in comps:
                     pltpu.make_async_copy(
                         src.at[pl.ds(st, w_rows), :], dst.at[row],
                         sems.at[ci, row],
                     ).wait()
-                q = info & 0xFF
                 pv = cellinfo_ref[row, 3] > 0.5
 
                 def sH(i, _row=row, _q=q):
@@ -220,62 +309,84 @@ def make_csr_cell_eval(
                                          np.float32(0.0))
                     return legtab_ref[_q, i]
 
-                pre, outs = item_math(sH, sx[row], sy[row], sz[row])
-
-                def anyb(v):
-                    return (
-                        jnp.max(v.astype(jnp.float32)) > 0
-                    ).astype(jnp.int32)
+                pre, vx_, vy_, vz_ = head_fn(
+                    sH, sx[row], sy[row], sz[row]
+                )
 
                 if shared:
-                    rc = cc = None
-                    for okp, crossed in outs:
-                        okf = okp.astype(jnp.float32)
-                        crf = crossed.astype(jnp.float32)
-                        rc = okf if rc is None else rc + okf
-                        cc = crf if cc is None else cc + crf
+                    rc_ref[row] = jnp.zeros(
+                        (w_rows, _LANES), jnp.float32
+                    )
+                    cc_ref[row] = jnp.zeros(
+                        (w_rows, _LANES), jnp.float32
+                    )
+                    for l, leg_fn in enumerate(leg_evals):
+                        # masked-out legs contribute exactly 0: ok
+                        # candidates lie in the reach ball (subset of
+                        # the inflated ball), crossed in the inflated
+                        @pl.when(((m >> l) & 1) != 0)
+                        def _leg(l=l, leg_fn=leg_fn):
+                            okp, crossed = leg_fn(
+                                sH, pre, vx_, vy_, vz_
+                            )
+                            rc_ref[row] = rc_ref[row] + okp.astype(
+                                jnp.float32
+                            )
+                            cc_ref[row] = cc_ref[row] + crossed.astype(
+                                jnp.float32
+                            )
+                    rc = rc_ref[row]
+                    cc = cc_ref[row]
                     iv = ((rc >= kf) | pv) & pre
                     ie = (cc > Lk) & pre
                     acc_ref[row, 0] = acc_ref[row, 0] | anyb(iv)
                     acc_ref[row, 1] = acc_ref[row, 1] | anyb(ie)
                     acc_ref[row, 2] = acc_ref[row, 2] | anyb(iv & ~ie)
-                    acc_ref[row, 3] = (
-                        acc_ref[row, 0] & acc_ref[row, 1] & acc_ref[row, 2]
-                    )
                 else:
-                    for l, (okp, crossed) in enumerate(outs):
-                        run_ref[row, l] = run_ref[row, l] | anyb(okp)
-                        run_ref[row, L + l] = run_ref[row, L + l] | anyb(
-                            okp & ~crossed
-                        )
-                        run_ref[row, 2 * L + l] = run_ref[
-                            row, 2 * L + l
-                        ] | anyb(okp | crossed)
+                    for l, leg_fn in enumerate(leg_evals):
+                        @pl.when(((m >> l) & 1) != 0)
+                        def _leg(l=l, leg_fn=leg_fn):
+                            okp, crossed = leg_fn(
+                                sH, pre, vx_, vy_, vz_
+                            )
+                            run_ref[row, l] = run_ref[row, l] | anyb(okp)
+                            run_ref[row, L + l] = run_ref[
+                                row, L + l
+                            ] | anyb(okp & ~crossed)
+                            run_ref[row, 2 * L + l] = run_ref[
+                                row, 2 * L + l
+                            ] | anyb(okp | crossed)
 
-                    @pl.when(endq != 0)
-                    def _finalize(row=row):
-                        cnt = nmin = nmax = jnp.int32(0)
-                        for l in range(L):
-                            cnt = cnt + run_ref[row, l]
-                            nmin = nmin + run_ref[row, L + l]
-                            nmax = nmax + run_ref[row, 2 * L + l]
-                        valid_q = (cnt >= k).astype(jnp.int32)
-                        edge_q = ((nmin < k) & (nmax >= k)).astype(
-                            jnp.int32
-                        )
-                        acc_ref[row, 0] = acc_ref[row, 0] | valid_q
-                        acc_ref[row, 1] = acc_ref[row, 1] | edge_q
-                        # decided: final valid (incl. parent_valid, an
-                        # XLA-side OR) and edge both settled -> leaf is
-                        # forced false; later quats cannot change flags
-                        pv_i = (cellinfo_ref[row, 3] > 0.5).astype(
-                            jnp.int32
-                        )
-                        acc_ref[row, 3] = (
-                            acc_ref[row, 0] | pv_i
-                        ) & acc_ref[row, 1]
-                        for l in range(3 * L):
-                            run_ref[row, l] = jnp.int32(0)
+            if not shared:
+                # per-quat fold MUST run at quat end even when the
+                # chunk itself was skipped (run-bit state is complete:
+                # skipped chunks had nothing left to contribute)
+                @pl.when(
+                    (live != 0) & (endq != 0) & (acc_ref[row, 3] == 0)
+                )
+                def _finalize(row=row):
+                    cnt = nmin = nmax = jnp.int32(0)
+                    for l in range(L):
+                        cnt = cnt + run_ref[row, l]
+                        nmin = nmin + run_ref[row, L + l]
+                        nmax = nmax + run_ref[row, 2 * L + l]
+                    valid_q = (cnt >= k).astype(jnp.int32)
+                    edge_q = ((nmin < k) & (nmax >= k)).astype(
+                        jnp.int32
+                    )
+                    acc_ref[row, 0] = acc_ref[row, 0] | valid_q
+                    acc_ref[row, 1] = acc_ref[row, 1] | edge_q
+                    # decided: final valid (incl. parent_valid, an
+                    # XLA-side OR) and edge both settled -> leaf is
+                    # forced false; later quats cannot change flags
+                    pv_i = (cellinfo_ref[row, 3] > 0.5).astype(
+                        jnp.int32
+                    )
+                    acc_ref[row, 3] = (
+                        acc_ref[row, 0] | pv_i
+                    ) & acc_ref[row, 1]
+                    for l in range(3 * L):
+                        run_ref[row, l] = jnp.int32(0)
 
         @pl.when(s == n_steps - 1)
         def _emit():
@@ -288,8 +399,9 @@ def make_csr_cell_eval(
 
     @partial(jax.jit, static_argnames=("cell_size", "dims", "dead_elem"))
     def eval_fn(
-        centers, parent_valid, legtab, elong, xs2, ys2, zs2, starts,
-        origin, cell_size: float, dims: tuple, dead_elem: int,
+        centers, parent_valid, legtab, elong, rmounts, reach_l, r_cell,
+        xs2, ys2, zs2, starts, origin, cell_size: float, dims: tuple,
+        dead_elem: int,
     ):
         C = cells
         nx, ny, nz = dims
@@ -314,7 +426,26 @@ def make_csr_cell_eval(
                 (centers[:, 1] + elong[1] - origin[1]) / cs
             ).astype(jnp.int32), 0, ny - 1,
         )
-        sts, lens = [], []
+
+        # role masks per (cell, slab, quat): ball-vs-slab-box tests.
+        # ball centers = cell center + quat-rotated mounts [C, S, L, 3];
+        # the slab box is the slab's x-cell column over its clamped
+        # y-range and the grid's full z-extent (conservative superset
+        # of every chunk cut from the slab)
+        bc = centers[:, None, None, :] + rmounts[None, :, :, :]
+        r_ok2 = (reach_l + _BALL_EPS) ** 2  # [L]
+        r_in2 = (reach_l + r_cell) ** 2
+        by_lo = origin[1] + cy_lo.astype(jnp.float32) * cs  # [C]
+        by_hi = origin[1] + (cy_hi + 1).astype(jnp.float32) * cs
+        bz_lo = origin[2]
+        bz_hi = origin[2] + jnp.float32(nz) * cs
+        cdy = jnp.clip(
+            bc[..., 1], by_lo[:, None, None], by_hi[:, None, None]
+        ) - bc[..., 1]
+        cdz = jnp.clip(bc[..., 2], bz_lo, bz_hi) - bc[..., 2]
+        dyz2 = cdy * cdy + cdz * cdz  # [C, S, L]
+
+        sts, lens, bits = [], [], []
         for dx in range(-R_CAP, R_CAP + 1):
             cxc = base[:, 0] + dx
             ok = (
@@ -327,8 +458,29 @@ def make_csr_cell_eval(
             en = starts[(cxs * ny + cy_hi) * nz + nz]
             sts.append(st)
             lens.append(jnp.where(ok, en - st, 0))
+            bx_lo = origin[0] + cxs.astype(jnp.float32) * cs  # [C]
+            cdx = jnp.clip(
+                bc[..., 0], bx_lo[:, None, None],
+                (bx_lo + cs)[:, None, None],
+            ) - bc[..., 0]
+            d2 = cdx * cdx + dyz2  # [C, S, L]
+            okhit = d2 <= r_ok2[None, None, :]
+            inhit = d2 <= r_in2[None, None, :]
+            inflb = jnp.sum(
+                inhit.astype(jnp.int32)
+                * (1 << jnp.arange(L, dtype=jnp.int32))[None, None, :],
+                axis=-1,
+            )  # [C, S]
+            vb = (
+                jnp.sum(okhit.astype(jnp.int32), axis=-1) >= k
+            ).astype(jnp.int32)
+            eb = (
+                jnp.sum(inhit.astype(jnp.int32), axis=-1) > (L - k)
+            ).astype(jnp.int32)
+            bits.append(inflb | (vb << 6) | (eb << 7))
         slab_st = jnp.stack(sts, axis=1)  # [C, 2R+1]
         slab_len = jnp.stack(lens, axis=1)
+        slab_bits = jnp.stack(bits, axis=1)  # [C, 2R+1, S]
         w32 = jnp.int32(window)
         chunks = (slab_len + (w32 - 1)) // w32
         cum = jnp.cumsum(chunks, axis=1)
@@ -355,10 +507,16 @@ def make_csr_cell_eval(
             // _ALIGN
         ) * (_ALIGN // _LANES)
         endq = (cidx == tot - 1).astype(jnp.int32)
+        qclamp = jnp.minimum(qidx, S - 1)
+        step_bits = jnp.take_along_axis(
+            slab_bits.reshape(C, (2 * R_CAP + 1) * S),
+            slabc * jnp.int32(S) + qclamp, 1,
+        )  # [C, Q]
         qinfo = (
-            jnp.minimum(qidx, S - 1)
+            qclamp
             | (endq << 8)
             | (live << 9)
+            | (live * step_bits) << 10
         ).astype(jnp.int32)
 
         cellinfo = jnp.concatenate(
@@ -384,6 +542,8 @@ def make_csr_cell_eval(
             ],
             out_specs=pl.BlockSpec((_ROWS, _LANES), lambda i, s: (i, 0)),
             scratch_shapes=[
+                pltpu.VMEM((_ROWS, w_rows, _LANES), jnp.float32),
+                pltpu.VMEM((_ROWS, w_rows, _LANES), jnp.float32),
                 pltpu.VMEM((_ROWS, w_rows, _LANES), jnp.float32),
                 pltpu.VMEM((_ROWS, w_rows, _LANES), jnp.float32),
                 pltpu.VMEM((_ROWS, w_rows, _LANES), jnp.float32),

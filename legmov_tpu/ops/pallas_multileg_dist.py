@@ -163,9 +163,15 @@ def dist_leg_constants(robot: LegDimensions) -> list[dict]:
     return legs_const
 
 
-def make_item_math(legs_const: list[dict]):
-    """Build the getter-based fused ``validity_child`` item pipeline
-    (see ``item_math`` docstring) for baked per-leg constants."""
+def make_item_parts(legs_const: list[dict]):
+    """Split form of :func:`make_item_math`: ``(head, leg_evals)``.
+
+    ``head(s, x, y, z) -> (pre, vx, vy, vz)`` computes the shared
+    elongated-box prefilter and the body-frame candidate vector;
+    ``leg_evals[l](s, pre, vx, vy, vz) -> (okp, crossed)`` runs leg
+    ``l``'s full distance/crossing pipeline.  ``make_item_math`` is the
+    composition of these parts, so per-leg callers (the CSR cell
+    evaluator's ball-mask gating) evaluate the EXACT same fp32 ops."""
     margin_c = np.float32(0.001)
     big = np.float32(3.4e38)
 
@@ -179,15 +185,7 @@ def make_item_math(legs_const: list[dict]):
         ng = (ay * cos_t - ax * sin_t) < 0
         return (below & ng) if neg else (below | ng)
 
-    def item_math(s, x_in, y_in, z_in):
-        """Full fused ``validity_child`` per-item pipeline, getter-based.
-
-        ``s(i)`` returns the per-item scalar at index ``i`` of the
-        :func:`oriented_dist_tables` layout (broadcastable against the
-        candidate tile); ``x/y/z_in`` are candidate WORLD coordinates.
-        Returns ``(pre, outs)`` where ``outs[l] = (okp, crossed)`` per
-        leg — shared by the dense-tile kernel below and the CSR
-        streaming cell evaluator (ops/csr_cell_eval.py)."""
+    def head(s, x_in, y_in, z_in):
         # candidate relative position, body frame
         rx = x_in - s(4)
         ry = y_in - s(5)
@@ -207,13 +205,15 @@ def make_item_math(legs_const: list[dict]):
             & (ry > -s(14)) & (ry <= s(14))
             & (rz > -s(15)) & (rz <= s(15))
         )
-        hmx, hmy, hmz = s(8), s(9), s(10)
-        h2m = s(11)
-        bigc = s(12) > 0.5
+        return pre, vx, vy, vz
 
-        outs = []
-        for l, c in enumerate(legs_const):
-            off = _HDR + l * LEG_BLOCK
+    def make_leg(l, c):
+        off = _HDR + l * LEG_BLOCK
+
+        def leg_eval(s, pre, vx, vy, vz):
+            hmx, hmy, hmz = s(8), s(9), s(10)
+            h2m = s(11)
+            bigc = s(12) > 0.5
 
             def ls(i, _off=off):
                 return s(_off + i)
@@ -411,7 +411,30 @@ def make_item_math(legs_const: list[dict]):
             cross_small = dv2 < h2m
             crossed = _bsel(bigc, cross_big, cross_small) & pre
             okp = ok & pre
-            outs.append((okp, crossed))
+            return okp, crossed
+
+        return leg_eval
+
+    leg_evals = [make_leg(l, c) for l, c in enumerate(legs_const)]
+    return head, leg_evals
+
+
+def make_item_math(legs_const: list[dict]):
+    """Build the getter-based fused ``validity_child`` item pipeline
+    for baked per-leg constants.
+
+    ``item_math(s, x, y, z) -> (pre, outs)`` where ``s(i)`` returns the
+    per-item scalar at index ``i`` of the :func:`oriented_dist_tables`
+    layout (broadcastable against the candidate tile), ``x/y/z`` are
+    candidate WORLD coordinates, and ``outs[l] = (okp, crossed)`` per
+    leg — shared by the dense-tile kernel below and the CSR streaming
+    cell evaluator (ops/csr_cell_eval.py).  Thin composition of
+    :func:`make_item_parts` so gated per-leg callers are bit-identical."""
+    head, leg_evals = make_item_parts(legs_const)
+
+    def item_math(s, x_in, y_in, z_in):
+        pre, vx, vy, vz = head(s, x_in, y_in, z_in)
+        outs = [leg(s, pre, vx, vy, vz) for leg in leg_evals]
         return pre, outs
 
     return item_math

@@ -17,6 +17,7 @@ from legmov_tpu.models.robot import get_moonbot_robot
 from legmov_tpu.ops import quaternion as quat
 from legmov_tpu.ops.csr_cell_eval import (
     _ALIGN,
+    ball_mask_params,
     level_tables,
     make_csr_cell_eval,
     pad_csr_soa,
@@ -26,7 +27,11 @@ from legmov_tpu.ops.csr_grid import build_csr_grid
 
 
 @pytest.mark.parametrize("shared", (True, False))
-def test_csr_cell_eval_matches_dense(shared):
+@pytest.mark.parametrize("k", (3, 6))
+def test_csr_cell_eval_matches_dense(shared, k):
+    """k=3 exercises partial-quorum V/E role masks; k=6 (= leg count)
+    is the benchmark case where valid items only exist in the all-ball
+    intersection and edge needs any crossing leg."""
     rng = np.random.default_rng(0)
     robot = get_moonbot_robot()
     reach = 711.0
@@ -47,7 +52,7 @@ def test_csr_cell_eval_matches_dense(shared):
     pv = rng.random(C) < 0.3
     half = np.asarray([40.0, 40.0, 40.0], np.float32)
     parent_half = np.asarray([80.0, 80.0, 80.0], np.float32)
-    margin, k = 16.0, 3
+    margin = 16.0
     elong = parent_half + np.float32(reach)
 
     window = 256
@@ -67,8 +72,12 @@ def test_csr_cell_eval_matches_dense(shared):
         jnp.asarray(quats), jnp.asarray(half), jnp.asarray(parent_half),
         robot, margin, reach,
     )
+    rmounts, reach_l, r_cell = ball_mask_params(
+        jnp.asarray(quats), robot, half, margin
+    )
     v, e, lf, over = ev(
         jnp.asarray(centers), jnp.asarray(pv), legtab, jnp.asarray(elong),
+        rmounts, reach_l, r_cell,
         xs2, ys2, zs2, csr.starts, csr.origin, cell_size=csr.cell_size,
         dims=csr.dims, dead_elem=dead,
     )
@@ -82,10 +91,12 @@ def test_csr_cell_eval_matches_dense(shared):
     np.testing.assert_array_equal(np.asarray(v), np.asarray(vw))
     np.testing.assert_array_equal(np.asarray(e), np.asarray(ew))
     np.testing.assert_array_equal(np.asarray(lf), np.asarray(lw))
-    # sanity: the draw must set some flags (the exactness contract is
-    # the dense-path equality above)
-    assert np.asarray(vw).sum() > 0
-    assert np.asarray(ew).sum() > 0
+    # sanity: the k=3 draw must set some flags (the exactness contract
+    # is the dense-path equality above; the k=L draw legitimately has
+    # sparse flags — valid needs every leg on one foothold)
+    if k == 3:
+        assert np.asarray(vw).sum() > 0
+        assert np.asarray(ew).sum() > 0
 
 
 @pytest.mark.slow

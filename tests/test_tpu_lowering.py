@@ -112,6 +112,7 @@ def test_csr_cell_eval_lowers():
     variants."""
     from legmov_tpu.ops.csr_cell_eval import (
         _ALIGN,
+        ball_mask_params,
         level_tables,
         make_csr_cell_eval,
         pad_csr_soa,
@@ -137,6 +138,9 @@ def test_csr_cell_eval_lowers():
     )
     pv = jnp.zeros(C, bool)
     elong = jnp.asarray(phalf + 711.0)
+    rmounts, reach_l, r_cell = ball_mask_params(
+        jnp.asarray(quats), robot, np.asarray(half), 16.0
+    )
     for shared in (True, False):
         ev = make_csr_cell_eval(
             robot, k=3, n_quats=S, cells=C, q_steps=Q, shared=shared,
@@ -144,7 +148,8 @@ def test_csr_cell_eval_lowers():
         )
         jax.jit(
             lambda c, p, lt: ev(
-                c, p, lt, elong, xs2, ys2, zs2, csr.starts, csr.origin,
+                c, p, lt, elong, rmounts, reach_l, r_cell,
+                xs2, ys2, zs2, csr.starts, csr.origin,
                 cell_size=csr.cell_size, dims=csr.dims, dead_elem=dead,
             )
         ).trace(centers, pv, legtab).lower(lowering_platforms=("tpu",))
