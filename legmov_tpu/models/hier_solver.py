@@ -404,7 +404,7 @@ def solve_positionability(
     profile: bool = False,
     candidates: str = "auto",
     csr_window: int = 2048,
-    csr_cell_chunk: int = 8192,
+    csr_cell_chunk: int = 32768,
 ) -> CellRecord:
     """Breadth-first hierarchical positionability solve.
 
@@ -575,7 +575,11 @@ def solve_positionability(
                 np.asarray(csr.origin), csr.cell_size, csr.dims,
                 csr_window,
             )
-            q_steps = max(8, 1 << (max(S * maxch, 1) - 1).bit_length())
+            # chunk-major shared kernel iterates quats in-kernel: its
+            # queue is chunks only; the quat-major per-leg queue is
+            # S x chunks
+            q_base = maxch if shared_foothold else S * maxch
+            q_steps = max(8, 1 << (max(q_base, 1) - 1).bit_length())
             cells_pad = max(
                 8, min(csr_cell_chunk, 1 << (max(C - 1, 1)).bit_length())
             )

@@ -216,6 +216,8 @@ def make_csr_cell_eval(
     w_rows = w_fetch // _LANES
     kf = np.float32(k)
     Lk = np.float32(L - k)
+    #: shared mode packs each (step, quat) role byte 4-per-word
+    WPS = (S + 3) // 4
 
     def kernel(starts_ref, qinfo_ref, cellinfo_ref, legtab_ref,
                xs_ref, ys_ref, zs_ref, o_ref, sx, sy, sz, rc_ref, cc_ref,
@@ -397,6 +399,134 @@ def make_csr_cell_eval(
                     + (lane == 2).astype(jnp.int32) * acc_ref[row, 2]
                 )
 
+    def kernel_shared(starts_ref, qinfo_ref, qbits_ref, cellinfo_ref,
+                      legtab_ref, xs_ref, ys_ref, zs_ref, o_ref,
+                      sx, sy, sz, rc_ref, cc_ref, acc_ref, sems):
+        """CHUNK-major shared-mode evaluator: each queue step is one
+        candidate window streamed ONCE, with an in-kernel ``fori_loop``
+        over the orientation samples — the quat-major form re-DMAs and
+        re-steps every window per orientation (S x the steps and S x
+        the HBM traffic; measured 172 s of depth-7 fetch at S = 27 on
+        the 256x256 moon solve).  Shared mode has no per-quat
+        finalization state, so accumulation order across (chunk, quat)
+        is free and all early exits survive: a chunk is skipped once
+        valid+leaf and edge are settled, a quat inside a chunk is
+        skipped unless its build-time role bits (V/E/per-leg balls) say
+        it can still change a flag."""
+        s = pl.program_id(1)
+        n_steps = pl.num_programs(1)
+
+        @pl.when(s == 0)
+        def _init():
+            for row in range(_ROWS):
+                for j in range(4):
+                    acc_ref[row, j] = jnp.int32(0)
+
+        def chunk_useful(row):
+            info = qinfo_ref[row, s]
+            live = info & 1
+            vany = (info >> 1) & 1
+            eany = (info >> 2) & 1
+            pv_i = (cellinfo_ref[row, 3] > 0.5).astype(jnp.int32)
+            need_v = (acc_ref[row, 0] & acc_ref[row, 2]) ^ 1
+            need_e = acc_ref[row, 1] ^ 1
+            return live & (
+                ((vany | pv_i) & need_v) | (eany & need_e)
+            )
+
+        comps = ((xs_ref, sx, 0), (ys_ref, sy, 1), (zs_ref, sz, 2))
+        for row in range(_ROWS):
+            @pl.when(chunk_useful(row) != 0)
+            def _start(row=row):
+                st = starts_ref[row, s]
+                for src, dst, ci in comps:
+                    pltpu.make_async_copy(
+                        src.at[pl.ds(st, w_rows), :], dst.at[row],
+                        sems.at[ci, row],
+                    ).start()
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+        for row in range(_ROWS):
+            def anyb(v):
+                return (
+                    jnp.max(v.astype(jnp.float32)) > 0
+                ).astype(jnp.int32)
+
+            @pl.when(chunk_useful(row) != 0)
+            def _eval(row=row, anyb=anyb):
+                st = starts_ref[row, s]
+                for src, dst, ci in comps:
+                    pltpu.make_async_copy(
+                        src.at[pl.ds(st, w_rows), :], dst.at[row],
+                        sems.at[ci, row],
+                    ).wait()
+                pv = cellinfo_ref[row, 3] > 0.5
+                pv_i = (cellinfo_ref[row, 3] > 0.5).astype(jnp.int32)
+
+                def qbody(q, carry, _row=row):
+                    word = qbits_ref[_row, s * WPS + q // 4]
+                    bits = (word >> (8 * (q % 4))) & 0xFF
+                    vbit = (bits >> 6) & 1
+                    ebit = (bits >> 7) & 1
+                    m = bits & 0x3F
+                    need_v = (acc_ref[_row, 0] & acc_ref[_row, 2]) ^ 1
+                    uq = ((vbit | pv_i) & need_v) | (
+                        ebit & (acc_ref[_row, 1] ^ 1)
+                    )
+
+                    @pl.when(uq != 0)
+                    def _q(q=q, m=m):
+                        def sH(i, _q=q):
+                            if i in (4, 5, 6):
+                                return cellinfo_ref[_row, i - 4]
+                            if i == 7:
+                                return jnp.where(pv, np.float32(1.0),
+                                                 np.float32(0.0))
+                            return legtab_ref[_q, i]
+
+                        pre, vx_, vy_, vz_ = head_fn(
+                            sH, sx[_row], sy[_row], sz[_row]
+                        )
+                        rc_ref[_row] = jnp.zeros(
+                            (w_rows, _LANES), jnp.float32
+                        )
+                        cc_ref[_row] = jnp.zeros(
+                            (w_rows, _LANES), jnp.float32
+                        )
+                        for l, leg_fn in enumerate(leg_evals):
+                            @pl.when(((m >> l) & 1) != 0)
+                            def _leg(l=l, leg_fn=leg_fn):
+                                okp, crossed = leg_fn(
+                                    sH, pre, vx_, vy_, vz_
+                                )
+                                rc_ref[_row] = rc_ref[_row] + okp.astype(
+                                    jnp.float32
+                                )
+                                cc_ref[_row] = cc_ref[_row] + (
+                                    crossed.astype(jnp.float32)
+                                )
+                        rc = rc_ref[_row]
+                        cc = cc_ref[_row]
+                        iv = ((rc >= kf) | pv) & pre
+                        ie = (cc > Lk) & pre
+                        acc_ref[_row, 0] = acc_ref[_row, 0] | anyb(iv)
+                        acc_ref[_row, 1] = acc_ref[_row, 1] | anyb(ie)
+                        acc_ref[_row, 2] = acc_ref[_row, 2] | anyb(
+                            iv & ~ie
+                        )
+                    return carry
+
+                jax.lax.fori_loop(0, S, qbody, jnp.int32(0))
+
+        @pl.when(s == n_steps - 1)
+        def _emit():
+            for row in range(_ROWS):
+                o_ref[row : row + 1, :] = (
+                    (lane == 0).astype(jnp.int32) * acc_ref[row, 0]
+                    + (lane == 1).astype(jnp.int32) * acc_ref[row, 1]
+                    + (lane == 2).astype(jnp.int32) * acc_ref[row, 2]
+                )
+
     @partial(jax.jit, static_argnames=("cell_size", "dims", "dead_elem"))
     def eval_fn(
         centers, parent_valid, legtab, elong, rmounts, reach_l, r_cell,
@@ -488,9 +618,14 @@ def make_csr_cell_eval(
         totc = jnp.maximum(tot, 1)
 
         t = jnp.arange(q_steps, dtype=jnp.int32)[None, :]  # [1, Q]
-        qidx = t // totc  # [C, Q]
-        cidx = t - qidx * totc
-        live = (t < tot * jnp.int32(S)).astype(jnp.int32)
+        if shared:
+            # chunk-major: step == chunk; quats iterate in-kernel
+            cidx = jnp.broadcast_to(t, (C, q_steps))
+            live = (cidx < tot).astype(jnp.int32)
+        else:
+            qidx = t // totc  # [C, Q]
+            cidx = t - qidx * totc
+            live = (t < tot * jnp.int32(S)).astype(jnp.int32)
         slab = jnp.sum(
             (cum[:, None, :] <= cidx[:, :, None]).astype(jnp.int32), -1
         )
@@ -506,18 +641,35 @@ def make_csr_cell_eval(
             jnp.where(live != 0, jnp.clip(raw, 0, dead), dead)
             // _ALIGN
         ) * (_ALIGN // _LANES)
-        endq = (cidx == tot - 1).astype(jnp.int32)
-        qclamp = jnp.minimum(qidx, S - 1)
-        step_bits = jnp.take_along_axis(
-            slab_bits.reshape(C, (2 * R_CAP + 1) * S),
-            slabc * jnp.int32(S) + qclamp, 1,
-        )  # [C, Q]
-        qinfo = (
-            qclamp
-            | (endq << 8)
-            | (live << 9)
-            | (live * step_bits) << 10
-        ).astype(jnp.int32)
+        if shared:
+            # per-(step, quat) role bytes, 4 packed per int32 word
+            sb = jnp.take_along_axis(
+                slab_bits, slabc[:, :, None], axis=1
+            ) * live[:, :, None]  # [C, Q, S]
+            vany = jnp.any((sb >> 6) & 1 > 0, axis=-1).astype(jnp.int32)
+            eany = jnp.any((sb >> 7) & 1 > 0, axis=-1).astype(jnp.int32)
+            sb = jnp.pad(sb, ((0, 0), (0, 0), (0, 4 * WPS - S)))
+            sb = sb.reshape(C, q_steps, WPS, 4)
+            qbits = (
+                sb[..., 0]
+                | (sb[..., 1] << 8)
+                | (sb[..., 2] << 16)
+                | (sb[..., 3] << 24)
+            ).reshape(C, q_steps * WPS).astype(jnp.int32)
+            qinfo = (live | (vany << 1) | (eany << 2)).astype(jnp.int32)
+        else:
+            endq = (cidx == tot - 1).astype(jnp.int32)
+            qclamp = jnp.minimum(qidx, S - 1)
+            step_bits = jnp.take_along_axis(
+                slab_bits.reshape(C, (2 * R_CAP + 1) * S),
+                slabc * jnp.int32(S) + qclamp, 1,
+            )  # [C, Q]
+            qinfo = (
+                qclamp
+                | (endq << 8)
+                | (live << 9)
+                | (live * step_bits) << 10
+            ).astype(jnp.int32)
 
         cellinfo = jnp.concatenate(
             [centers.astype(jnp.float32),
@@ -526,38 +678,73 @@ def make_csr_cell_eval(
 
         smem_q = pl.BlockSpec((_ROWS, q_steps), lambda i, s: (i, 0),
                               memory_space=pltpu.SMEM)
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=0,
-            grid=(C // _ROWS, q_steps),
-            in_specs=[
-                smem_q,
-                smem_q,
-                pl.BlockSpec((_ROWS, 4), lambda i, s: (i, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((S, W), lambda i, s: (0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            out_specs=pl.BlockSpec((_ROWS, _LANES), lambda i, s: (i, 0)),
-            scratch_shapes=[
-                pltpu.VMEM((_ROWS, w_rows, _LANES), jnp.float32),
-                pltpu.VMEM((_ROWS, w_rows, _LANES), jnp.float32),
-                pltpu.VMEM((_ROWS, w_rows, _LANES), jnp.float32),
-                pltpu.VMEM((_ROWS, w_rows, _LANES), jnp.float32),
-                pltpu.VMEM((_ROWS, w_rows, _LANES), jnp.float32),
-                pltpu.SMEM((_ROWS, 3 * L), jnp.int32),
-                pltpu.SMEM((_ROWS, 4), jnp.int32),
-                pltpu.SemaphoreType.DMA((3, _ROWS)),
-            ],
-        )
-        lanes = pl.pallas_call(
-            kernel,
-            out_shape=jax.ShapeDtypeStruct((C, _LANES), jnp.int32),
-            grid_spec=grid_spec,
-            interpret=interpret,
-        )(start_rows, qinfo, cellinfo, legtab, xs2, ys2, zs2)
+        cell_spec = pl.BlockSpec((_ROWS, 4), lambda i, s: (i, 0),
+                                 memory_space=pltpu.SMEM)
+        tab_spec = pl.BlockSpec((S, W), lambda i, s: (0, 0),
+                                memory_space=pltpu.SMEM)
+        any_specs = [
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        win_scratch = [
+            pltpu.VMEM((_ROWS, w_rows, _LANES), jnp.float32)
+            for _ in range(5)
+        ]
+        if shared:
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=0,
+                grid=(C // _ROWS, q_steps),
+                in_specs=[
+                    smem_q,
+                    smem_q,
+                    pl.BlockSpec((_ROWS, q_steps * WPS),
+                                 lambda i, s: (i, 0),
+                                 memory_space=pltpu.SMEM),
+                    cell_spec,
+                    tab_spec,
+                    *any_specs,
+                ],
+                out_specs=pl.BlockSpec((_ROWS, _LANES),
+                                       lambda i, s: (i, 0)),
+                scratch_shapes=[
+                    *win_scratch,
+                    pltpu.SMEM((_ROWS, 4), jnp.int32),
+                    pltpu.SemaphoreType.DMA((3, _ROWS)),
+                ],
+            )
+            lanes = pl.pallas_call(
+                kernel_shared,
+                out_shape=jax.ShapeDtypeStruct((C, _LANES), jnp.int32),
+                grid_spec=grid_spec,
+                interpret=interpret,
+            )(start_rows, qinfo, qbits, cellinfo, legtab, xs2, ys2, zs2)
+        else:
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=0,
+                grid=(C // _ROWS, q_steps),
+                in_specs=[
+                    smem_q,
+                    smem_q,
+                    cell_spec,
+                    tab_spec,
+                    *any_specs,
+                ],
+                out_specs=pl.BlockSpec((_ROWS, _LANES),
+                                       lambda i, s: (i, 0)),
+                scratch_shapes=[
+                    *win_scratch,
+                    pltpu.SMEM((_ROWS, 3 * L), jnp.int32),
+                    pltpu.SMEM((_ROWS, 4), jnp.int32),
+                    pltpu.SemaphoreType.DMA((3, _ROWS)),
+                ],
+            )
+            lanes = pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((C, _LANES), jnp.int32),
+                grid_spec=grid_spec,
+                interpret=interpret,
+            )(start_rows, qinfo, cellinfo, legtab, xs2, ys2, zs2)
 
         valid = lanes[:, 0] > 0
         edge = lanes[:, 1] > 0
@@ -566,10 +753,12 @@ def make_csr_cell_eval(
         else:
             valid = valid | parent_valid
             leaf = valid & jnp.logical_not(edge)
-        # queue truncation guard: q_steps must cover S * chunks for every
-        # cell (sized host-side via slab_queue_host_max; this flag catches
-        # any residual host/device floor divergence)
-        over = jnp.any(tot * jnp.int32(S) > jnp.int32(q_steps))
+        # queue truncation guard: q_steps must cover the per-cell queue
+        # (chunks in chunk-major shared mode, S * chunks quat-major; sized
+        # host-side via slab_queue_host_max; this flag catches any
+        # residual host/device floor divergence)
+        q_need = tot if shared else tot * jnp.int32(S)
+        over = jnp.any(q_need > jnp.int32(q_steps))
         return valid, edge, leaf, over
 
     return eval_fn
