@@ -405,6 +405,7 @@ def solve_positionability(
     candidates: str = "auto",
     csr_window: int = 2048,
     csr_cell_chunk: int = 32768,
+    mesh=None,
 ) -> CellRecord:
     """Breadth-first hierarchical positionability solve.
 
@@ -434,12 +435,21 @@ def solve_positionability(
     elongated-box candidate queues, decided cells skip their remaining
     orientation samples); ``"auto"`` = csr whenever the Pallas fast
     path is active.  Flags are bit-identical across the choices.
+
+    ``mesh``: a ``jax.sharding.Mesh`` scales each level's cell batch
+    data-parallel over every mesh axis (cells are the pose-role axis of
+    this workload; footholds/CSR tables replicate, 12 B/point) — the
+    multi-device path for the reference's flagship ``apply_oct``
+    workload (several_leg_octree.cu:391-488).  No collectives beyond
+    the psum'd overflow scalar; flags are bit-identical to
+    ``mesh=None`` (tests/test_sharding.py).
     """
     import os as _os
     import time as _time
 
     profile = profile or bool(_os.environ.get("LEGMOV_HIER_PROFILE"))
     _t_solve0 = _time.perf_counter()
+    ndev = int(mesh.size) if mesh is not None else 1
     k = cfg.legs_for_stability
     reach = _total_reach(robot)
     quats = jnp.asarray(orientation_samples(cfg))
@@ -481,6 +491,19 @@ def solve_positionability(
         # use_pallas == "auto" without a TPU: interpret-mode pallas is
         # slower than XLA, stay on the XLA evaluators (by design, no
         # warning)
+
+    # mesh mode: every dense evaluator shards its cell batch over the
+    # mesh (footholds/quats/robot replicated); the CSR evaluator is
+    # wrapped at factory time below
+    eval_dense = _eval_cells
+    if ndev > 1:
+        from legmov_tpu.parallel.sharding import sharded_cell_eval
+
+        eval_dense = sharded_cell_eval(mesh, _eval_cells)
+        if fast_eval is not None:
+            fast_eval = sharded_cell_eval(mesh, fast_eval)
+        if fast_rot_eval is not None:
+            fast_rot_eval = sharded_cell_eval(mesh, fast_rot_eval)
 
     # pad footholds to a chunk multiple with far-away sentinels that the
     # elongated-box prefilter rejects
@@ -555,6 +578,10 @@ def solve_positionability(
         # batch size
         C = children.shape[0]
         batch = min(cell_batch, 1 << (max(C - 1, 1)).bit_length())
+        if ndev > 1:
+            # each batch splits evenly over the mesh (sentinel-padded
+            # cells are rejected by every evaluator's prefilter)
+            batch = max(ndev, -(-batch // ndev) * ndev)
         valid = np.zeros(C, bool)
         edge = np.zeros(C, bool)
         leaf_ok = np.zeros(C, bool)
@@ -577,12 +604,25 @@ def solve_positionability(
             )
             # chunk-major shared kernel iterates quats in-kernel: its
             # queue is chunks only; the quat-major per-leg queue is
-            # S x chunks
-            q_base = maxch if shared_foothold else S * maxch
+            # S x chunks.  LEGMOV_CSR_QUAT_MAJOR=1 falls shared mode
+            # back to the quat-major kernel (ADVICE r3: a Mosaic
+            # regression escape hatch for the chunk-major form).
+            chunk_major = not bool(
+                int(_os.environ.get("LEGMOV_CSR_QUAT_MAJOR", "0") or 0)
+            )
+            q_base = (
+                maxch if (shared_foothold and chunk_major) else S * maxch
+            )
             q_steps = max(8, 1 << (max(q_base, 1) - 1).bit_length())
             cells_pad = max(
                 8, min(csr_cell_chunk, 1 << (max(C - 1, 1)).bit_length())
             )
+            # mesh mode: the batch splits over every device in units of
+            # the kernel's 8-row tiles; the factory below is built with
+            # the PER-DEVICE cell count
+            unit = 8 * ndev
+            cells_pad = max(unit, -(-cells_pad // unit) * unit)
+            cells_dev = cells_pad // ndev
             if profile:
                 print(
                     f"[hier] depth={depth} csr level start at "
@@ -590,13 +630,21 @@ def solve_positionability(
                     f"(maxch={maxch})",
                     flush=True,
                 )
-            key = (S, cells_pad, q_steps)
+            key = (S, cells_dev, q_steps, chunk_major, ndev)
             if key not in csr_env["fns"]:
-                csr_env["fns"][key] = csr_env["make_eval"](
-                    robot, k=k, n_quats=S, cells=cells_pad,
+                ev = csr_env["make_eval"](
+                    robot, k=k, n_quats=S, cells=cells_dev,
                     q_steps=q_steps, shared=shared_foothold,
                     window=csr_window, interpret=csr_env["interp"],
+                    chunk_major=chunk_major,
                 )
+                if ndev > 1:
+                    from legmov_tpu.parallel.sharding import (
+                        sharded_csr_cell_eval,
+                    )
+
+                    ev = sharded_csr_cell_eval(mesh, ev)
+                csr_env["fns"][key] = ev
             ev_csr = csr_env["fns"][key]
             legtab = csr_env["level_tables"](
                 quats, jnp.asarray(child_half), jnp.asarray(half),
@@ -688,9 +736,9 @@ def solve_positionability(
                     fh_batch = fh_dev
                 if rot_active:
                     ev = fast_rot_eval if fast_rot_eval is not None \
-                        else _eval_cells
+                        else eval_dense
                 else:
-                    ev = fast_eval if fast_eval is not None else _eval_cells
+                    ev = fast_eval if fast_eval is not None else eval_dense
                 v, ed, lf = ev(
                     jnp.asarray(cc),
                     jnp.asarray(pv),

@@ -185,13 +185,25 @@ def make_csr_cell_eval(
     shared: bool = True,
     window: int = 2048,
     interpret: bool = False,
+    chunk_major: bool = True,
 ):
     """Factory: CSR-streaming cell evaluator for one level shape.
 
     Static shape knobs (one compiled program per distinct tuple):
     ``n_quats`` (orientation samples, e.g. 27 or 1), ``cells`` (padded
-    level-chunk size, multiple of 8), ``q_steps`` (padded queue width =
-    pow2 >= n_quats * max chunks per cell).
+    level-chunk size, multiple of 8), ``q_steps`` (padded queue width —
+    NOTE the per-mode rule: in shared chunk-major mode (the default for
+    ``shared=True``) the queue holds CHUNKS only, so ``q_steps`` must be
+    a pow2 >= max chunks per cell; in quat-major mode (``shared=False``,
+    or ``shared=True`` with ``chunk_major=False``) the queue is
+    (quat, chunk)-unrolled, pow2 >= ``n_quats`` * max chunks per cell).
+
+    ``chunk_major=False`` is the fallback knob for shared mode: it routes
+    shared-rule evaluation through the quat-major kernel (each queue step
+    is one (quat, chunk) pair; no in-kernel fori_loop over quats, no
+    packed qbits SMEM words) — the Mosaic-simpler form to fall back to if
+    the chunk-major kernel misbehaves on a target.  Flags are identical
+    across the two forms.
 
     Returns ``eval(centers [C,3], parent_valid [C], legtab [S, W],
     elong [3], rmounts [S, L, 3], reach_l [L], r_cell, xs2, ys2, zs2
@@ -216,8 +228,10 @@ def make_csr_cell_eval(
     w_rows = w_fetch // _LANES
     kf = np.float32(k)
     Lk = np.float32(L - k)
-    #: shared mode packs each (step, quat) role byte 4-per-word
+    #: shared chunk-major mode packs each (step, quat) role byte 4-per-word
     WPS = (S + 3) // 4
+    #: queue/kernel layout: chunk-major only applies to the shared rule
+    use_cm = shared and chunk_major
 
     def kernel(starts_ref, qinfo_ref, cellinfo_ref, legtab_ref,
                xs_ref, ys_ref, zs_ref, o_ref, sx, sy, sz, rc_ref, cc_ref,
@@ -618,7 +632,7 @@ def make_csr_cell_eval(
         totc = jnp.maximum(tot, 1)
 
         t = jnp.arange(q_steps, dtype=jnp.int32)[None, :]  # [1, Q]
-        if shared:
+        if use_cm:
             # chunk-major: step == chunk; quats iterate in-kernel
             cidx = jnp.broadcast_to(t, (C, q_steps))
             live = (cidx < tot).astype(jnp.int32)
@@ -641,7 +655,7 @@ def make_csr_cell_eval(
             jnp.where(live != 0, jnp.clip(raw, 0, dead), dead)
             // _ALIGN
         ) * (_ALIGN // _LANES)
-        if shared:
+        if use_cm:
             # per-(step, quat) role bytes, 4 packed per int32 word
             sb = jnp.take_along_axis(
                 slab_bits, slabc[:, :, None], axis=1
@@ -691,7 +705,7 @@ def make_csr_cell_eval(
             pltpu.VMEM((_ROWS, w_rows, _LANES), jnp.float32)
             for _ in range(5)
         ]
-        if shared:
+        if use_cm:
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=0,
                 grid=(C // _ROWS, q_steps),
@@ -757,7 +771,7 @@ def make_csr_cell_eval(
         # (chunks in chunk-major shared mode, S * chunks quat-major; sized
         # host-side via slab_queue_host_max; this flag catches any
         # residual host/device floor divergence)
-        q_need = tot if shared else tot * jnp.int32(S)
+        q_need = tot if use_cm else tot * jnp.int32(S)
         over = jnp.any(q_need > jnp.int32(q_steps))
         return valid, edge, leaf, over
 

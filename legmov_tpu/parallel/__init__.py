@@ -15,6 +15,8 @@ from legmov_tpu.parallel.sharding import (
     sharded_positionable,
     sharded_csr_positionable,
     sharded_grid_positionable,
+    sharded_cell_eval,
+    sharded_csr_cell_eval,
 )
 
 __all__ = [
@@ -24,4 +26,6 @@ __all__ = [
     "sharded_positionable",
     "sharded_csr_positionable",
     "sharded_grid_positionable",
+    "sharded_cell_eval",
+    "sharded_csr_cell_eval",
 ]

@@ -181,6 +181,99 @@ def sharded_csr_positionable(
     return fn
 
 
+def _all_axes(mesh: Mesh) -> tuple:
+    return tuple(mesh.axis_names)
+
+
+def sharded_cell_eval(mesh: Mesh, ev):
+    """Shard a dense hierarchical cell evaluator over the mesh.
+
+    ``ev`` is ``hier_solver._eval_cells`` or one of its fused Pallas twins
+    (``make_fast_cell_eval`` / ``make_cell_eval_rot``): positional args
+    ``(centers [C,3], parent_valid [C], half, parent_half, footholds,
+    quats, robot)`` plus static keywords, returning three ``[C]`` flag
+    vectors.  The CELL axis is the data-parallel axis (each level's cell
+    batch is embarrassingly parallel, exactly like the pose axis of the
+    map solvers); footholds/quats/robot replicate.  ``C`` must divide by
+    the mesh size.
+
+    This is the multi-device path for the reference's flagship octree
+    workload (several_leg_octree.cu:391-488 ``apply_oct``): the CUDA side
+    scales by giving each SM a node slice; here each chip takes a cell
+    shard and no collectives are needed at all.
+    """
+    from functools import partial as _partial
+
+    ax = _all_axes(mesh)
+
+    @_partial(
+        jax.jit,
+        static_argnames=("k", "margin", "reach", "chunk", "use_rot",
+                         "shared"),
+    )
+    def fn(cc, pv, child_half, half, fh, quats, robot,
+           k, margin, reach, chunk, use_rot, shared):
+        def local(cc_, pv_, ch_, h_, fh_, quats_, robot_):
+            return ev(
+                cc_, pv_, ch_, h_, fh_, quats_, robot_,
+                k=k, margin=margin, reach=reach, chunk=chunk,
+                use_rot=use_rot, shared=shared,
+            )
+
+        # check_vma off: the evaluators scan foothold chunks with a
+        # replicated->varying carry (same situation as
+        # sharded_grid_positionable below)
+        return jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(ax), P(ax), P(), P(), P(), P(), P()),
+            out_specs=(P(ax), P(ax), P(ax)),
+            check_vma=False,
+        )(cc, pv, child_half, half, fh, quats, robot)
+
+    return fn
+
+
+def sharded_csr_cell_eval(mesh: Mesh, ev):
+    """Shard the CSR-streaming cell evaluator over the mesh.
+
+    ``ev`` comes from ``ops.csr_cell_eval.make_csr_cell_eval`` built with
+    ``cells`` = the PER-DEVICE cell count; the wrapped function takes the
+    full ``cells * mesh_size`` batch, shards (centers, parent_valid) over
+    every mesh axis, and replicates the CSR tables (12 B/foothold — the
+    BASELINE "footholds replicated, poses sharded" layout, with cells in
+    the pose role).  The scalar overflow flag is psum-reduced so every
+    device returns the global OR.
+    """
+    from functools import partial as _partial
+
+    ax = _all_axes(mesh)
+
+    @_partial(jax.jit, static_argnames=("cell_size", "dims", "dead_elem"))
+    def fn(cc, pv, legtab, elong, rmounts, reach_l, r_cell,
+           xs2, ys2, zs2, starts, origin, *, cell_size, dims, dead_elem):
+        def local(cc_, pv_, legtab_, elong_, rm_, rl_, rc_,
+                  xs_, ys_, zs_, st_, og_):
+            v, e, lf, over = ev(
+                cc_, pv_, legtab_, elong_, rm_, rl_, rc_,
+                xs_, ys_, zs_, st_, og_,
+                cell_size=cell_size, dims=dims, dead_elem=dead_elem,
+            )
+            over = jax.lax.psum(over.astype(jnp.int32), ax) > 0
+            return v, e, lf, over
+
+        return jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(ax), P(ax)) + (P(),) * 10,
+            out_specs=(P(ax), P(ax), P(ax), P()),
+            check_vma=False,
+        )(cc, pv, legtab, elong, rmounts, reach_l, r_cell,
+          xs2, ys2, zs2, starts, origin)
+
+    return fn
+
+
 def sharded_grid_positionable(mesh: Mesh, k: int = 0):
     """Map-scale positionability sharded over the ``poses`` mesh axis.
 

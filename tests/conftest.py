@@ -20,6 +20,14 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA-CPU compile cache: the interpret-mode Pallas kernel
+# tests are compile-dominated (~90 s per distinct kernel config, ~50 ms
+# execution), and the suite re-runs identical programs every invocation.
+# First run pays the compiles; re-runs load from /tmp.
+jax.config.update("jax_compilation_cache_dir", "/tmp/legmov_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 4.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import numpy as np
 import pytest
 

@@ -136,6 +136,50 @@ def test_sharded_csr_positionable_matches(mesh, rng=np.random.default_rng(12)):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+@pytest.mark.parametrize(
+    "shared",
+    (True, pytest.param(False, marks=pytest.mark.slow)),
+)
+def test_sharded_hier_solver_matches(mesh, shared):
+    """The hierarchical solver with a mesh (cells data-parallel over all
+    8 virtual devices, CSR tables + footholds replicated) must return the
+    bit-identical CellRecord as the single-device solve — covering the
+    dense XLA evaluator (identity levels) and the CSR-streaming Pallas
+    evaluator in interpret mode (rot levels).  One rot level and one
+    foothold rule by default: every extra level/rule is another ~90 s
+    XLA-CPU compile of the interpret kernel (x2: meshed + single); the
+    per-leg rule rides the slow marker.  The fused Pallas fast paths use
+    the same sharded_cell_eval wrapper (same specs); their on-mesh
+    equality is exercised by the driver dryrun."""
+    from legmov_tpu.config import SolverConfig
+    from legmov_tpu.models.hier_solver import solve_positionability
+    from legmov_tpu.models.robot import get_moonbot_robot
+
+    rng = np.random.default_rng(21)
+    fh = rng.uniform(-700, 700, (600, 3)).astype(np.float32)
+    fh[:, 2] = rng.uniform(-180, -100, 600)
+    robot = get_moonbot_robot()
+    cfg = SolverConfig(
+        box_center=(0.0, 0.0, 0.0), box_size=(600.0, 600.0, 150.0),
+        min_box=(80.0, 80.0, 80.0), max_depth=1, legs_for_stability=2,
+        enable_rot_below=200.0, angle_samples=(2, 1, 1),
+    )
+    a = solve_positionability(
+        fh, robot, cfg, chunk=128, cell_batch=64,
+        shared_foothold=shared, candidates="csr", use_pallas="off",
+        csr_window=128, csr_cell_chunk=64,
+    )
+    b = solve_positionability(
+        fh, robot, cfg, chunk=128, cell_batch=64,
+        shared_foothold=shared, candidates="csr", use_pallas="off",
+        csr_window=128, csr_cell_chunk=64, mesh=mesh,
+    )
+    np.testing.assert_array_equal(a.centers, b.centers)
+    np.testing.assert_array_equal(a.valid, b.valid)
+    np.testing.assert_array_equal(a.edge, b.edge)
+    np.testing.assert_array_equal(a.depth, b.depth)
+
+
 @pytest.mark.slow
 def test_sharded_csr_dma_positionable_matches(
     mesh, rng=np.random.default_rng(13)

@@ -8,9 +8,12 @@ DMA solver ran the same queues fine.  The two candidate fault loci are
 exactly that run.  This tool exonerates or convicts (a) WITHOUT TPU
 hardware: it rebuilds the decode exactly as `make_csr_solver.step` does
 (same dtypes, same op order, jax CPU backend) on a synthetic 10M-point
-CSR grid shaped like the moon map, walks every chunk of every round
-schedule step, and asserts the index/mask invariants the gather relies
-on:
+CSR grid shaped like the moon map, walks every chunk of the first-round
+queue AND of later-round queues rebuilt under progressively-decided
+legs/scanned masks (randomized decided fractions per round — a superset
+of the mask states a real solve can reach, since ``_column_queue`` only
+consumes the masks), and asserts the index/mask invariants the gather
+relies on:
 
 * every gathered index is in ``[0, F)`` (the kernel reads real memory);
 * chunk q of a pose decodes to a *wanted* column with
@@ -108,62 +111,88 @@ def main() -> None:
     undecided = make_undecided("legs", jnp.int32(L))
     A, C = col_len.shape
     w32 = jnp.int32(window)
-    legs0 = jnp.zeros((A, L), bool)
-    scanned0 = jnp.zeros((A, C), bool)
-    want, cum = _column_queue(col_len, rel, legs0, scanned0, undecided, w32)
-    q_tot = np.asarray(cum[:, -1])
-    limit = int(q_tot.max())
-    print(f"queue: max {limit} chunks/pose, total "
-          f"{int(np.asarray(jnp.where(want, col_len, 0)).sum())} candidates",
-          flush=True)
-
-    cum_h = np.asarray(cum)
     cs_h = np.asarray(col_start)
     cl_h = np.asarray(col_len)
-    want_h = np.asarray(want)
 
-    # walk every chunk exactly as make_csr_solver.step decodes it
-    streamed = np.zeros(A, np.int64)
-    bad = 0
-    for q in range(limit):
-        col = np.sum((cum_h <= q).astype(np.int32), 1)
-        colc = np.minimum(col, C - 1)
-        prev = np.where(
-            colc > 0, np.take_along_axis(cum_h, np.maximum(colc - 1, 0)[:, None], 1)[:, 0], 0
+    def walk_round(rnd: int, legs_m: np.ndarray, scanned_m: np.ndarray):
+        """Walk every chunk of one round's queue exactly as
+        make_csr_solver.step decodes it; returns bad-event count."""
+        want, cum = _column_queue(
+            col_len, rel, jnp.asarray(legs_m), jnp.asarray(scanned_m),
+            undecided, w32,
         )
-        within = q - prev
-        st = np.take_along_axis(cs_h, colc[:, None], 1)[:, 0]
-        ln = np.take_along_axis(cl_h, colc[:, None], 1)[:, 0]
-        start = st + within * window
-        rem = ln - within * window
-        live = q < q_tot
-        # invariant 1: gather indices in range (pre-clip!) for live lanes
-        lo = start[live]
-        n_real = np.minimum(np.maximum(rem[live], 0), window)
-        if lo.size:
-            if (lo < 0).any() or (lo + n_real > F).any():
+        q_tot = np.asarray(cum[:, -1])
+        limit = int(q_tot.max())
+        cum_h = np.asarray(cum)
+        want_h = np.asarray(want)
+        print(f"round {rnd}: max {limit} chunks/pose, total "
+              f"{int(np.asarray(jnp.where(want, col_len, 0)).sum())} "
+              "candidates", flush=True)
+        streamed = np.zeros(A, np.int64)
+        bad = 0
+        for q in range(limit):
+            col = np.sum((cum_h <= q).astype(np.int32), 1)
+            colc = np.minimum(col, C - 1)
+            prev = np.where(
+                colc > 0,
+                np.take_along_axis(
+                    cum_h, np.maximum(colc - 1, 0)[:, None], 1
+                )[:, 0],
+                0,
+            )
+            within = q - prev
+            st = np.take_along_axis(cs_h, colc[:, None], 1)[:, 0]
+            ln = np.take_along_axis(cl_h, colc[:, None], 1)[:, 0]
+            start = st + within * window
+            rem = ln - within * window
+            live = q < q_tot
+            # invariant 1: gather indices in range (pre-clip!) live lanes
+            lo = start[live]
+            n_real = np.minimum(np.maximum(rem[live], 0), window)
+            if lo.size:
+                if (lo < 0).any() or (lo + n_real > F).any():
+                    bad += 1
+                    print(f"chunk {q}: OUT-OF-RANGE slice "
+                          f"lo_min={lo.min()} hi_max={(lo + n_real).max()} "
+                          f"F={F}")
+            # invariant 2: live chunks decode to wanted columns w/ work
+            liv = np.nonzero(live)[0]
+            okcol = want_h[liv, colc[liv]] & (within[liv] * window < ln[liv])
+            if not okcol.all():
                 bad += 1
-                print(f"chunk {q}: OUT-OF-RANGE slice "
-                      f"lo_min={lo.min()} hi_max={(lo + n_real).max()} F={F}")
-        # invariant 2: live chunks decode to wanted columns with work left
-        liv = np.nonzero(live)[0]
-        okcol = want_h[liv, colc[liv]] & (within[liv] * window < ln[liv])
-        if not okcol.all():
-            bad += 1
-            print(f"chunk {q}: {int((~okcol).sum())} phantom decodes")
-        streamed[liv] += np.minimum(
-            np.maximum(ln[liv] - within[liv] * window, 0), window
-        )
-    # invariant 3: every wanted candidate streamed exactly once
-    want_total = np.where(want_h, cl_h, 0).sum(axis=1)
-    ok3 = (streamed == want_total).all()
-    print(f"audit: {limit} chunks walked, bad={bad}, "
-          f"stream-total match={bool(ok3)}")
-    if bad or not ok3:
+                print(f"chunk {q}: {int((~okcol).sum())} phantom decodes")
+            streamed[liv] += np.minimum(
+                np.maximum(ln[liv] - within[liv] * window, 0), window
+            )
+        # invariant 3: every wanted candidate streamed exactly once
+        want_total = np.where(want_h, cl_h, 0).sum(axis=1)
+        ok3 = bool((streamed == want_total).all())
+        print(f"round {rnd}: {limit} chunks walked, bad={bad}, "
+              f"stream-total match={ok3}")
+        return bad + (0 if ok3 else 1)
+
+    # round 1: the real initial state (nothing decided, nothing scanned)
+    bad = walk_round(1, np.zeros((A, L), bool), np.zeros((A, C), bool))
+
+    # later rounds: the decode consumes only (legs, scanned, undecided);
+    # audit it under randomized progressively-decided masks — a strict
+    # superset of the states a real solve's round ladder can reach.
+    # ``scanned`` must stay monotone per pose and consistent with being a
+    # set of previously-streamed columns; random subsets satisfy both
+    # invariants' premises (the queue only excludes them).
+    rng_m = np.random.default_rng(42)
+    n_aud = min(len(rounds), 4) if rounds else 3
+    for r in range(2, 2 + n_aud):
+        frac = 1.0 - 0.5 ** (r - 1)
+        legs_m = rng_m.random((A, L)) < frac
+        scanned_m = rng_m.random((A, C)) < frac
+        bad += walk_round(r, legs_m, scanned_m)
+
+    if bad:
         raise SystemExit("QUEUE DECODE BUG — see above")
-    print("queue decode EXONERATED at this scale "
+    print("queue decode EXONERATED at this scale, rounds 1..%d "
           "(all gather slices in-range, no phantom chunks, "
-          "each candidate streamed exactly once)")
+          "each candidate streamed exactly once)" % (1 + n_aud))
 
 
 if __name__ == "__main__":
