@@ -141,6 +141,11 @@ def chained_timer(eval_fn, pts, leg, k: int, reps: int) -> float:
     best = float("inf")
     stale = 0
     for batch in range(6):
+        if batch >= 2:
+            # contention on this relay arrives in bursts of seconds to
+            # tens of seconds; spacing the escalation batches samples
+            # independent windows instead of re-drawing inside one burst
+            time.sleep(10.0)
         kk = k if batch < 2 else k * 4
         slopes = chained_timer_samples(eval_fn, pts, leg, kk, reps)
         b = float(np.min(slopes))

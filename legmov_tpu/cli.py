@@ -176,7 +176,8 @@ def cmd_solve(args) -> None:
     )
     t0 = time.perf_counter()
     res = solve_positionability(
-        terrain, robot, cfg, shared_foothold=(args.mode == "shared")
+        terrain, robot, cfg, shared_foothold=(args.mode == "shared"),
+        csr_window=args.csr_window, csr_cell_chunk=args.csr_cell_chunk,
     )
     dt = time.perf_counter() - t0
     valid = res.centers[res.valid]
@@ -337,6 +338,11 @@ def main() -> None:
         help="shared = reference octree rule (k legs on one foothold); "
         "per-leg = each leg may use its own foothold",
     )
+    p.add_argument("--csr-window", type=int, default=2048,
+                   help="CSR cell-evaluator candidate window "
+                   "(multiple of 128; the deep-level tuning knob)")
+    p.add_argument("--csr-cell-chunk", type=int, default=32768,
+                   help="cell batch size for the CSR deep levels")
     p.set_defaults(fn=cmd_solve)
 
     p = sub.add_parser(

@@ -278,6 +278,20 @@ def suggest_rounds(
         quota *= 2
         frac /= 2.0
     rounds.append((0, frac))  # unbounded tail for the stragglers
+    # widening tail ladder (r4): ONE fixed-fraction tail undersizes
+    # whenever the undecided population entering it exceeds frac * P —
+    # measured at 65M (tools/straggler_study.py): 668/2048 poses end
+    # with missing legs while the 1/128 tail compacts only 16, so the
+    # rest rode the UNCOMPACTED full-width safety round
+    # (overflow=True).  Each extra unbounded tail fully finishes the
+    # top-k undecided poses it gathers and costs ~nothing once nothing
+    # is undecided (empty queues -> the while-loop runs zero kernel
+    # steps), so the ladder bounds the safety round to the pathological
+    # case of >(1/128 + 1/32 + 1/8 + 1/2) * P stragglers.
+    f2 = frac
+    while f2 < 0.5:
+        f2 = min(4.0 * f2, 0.5)
+        rounds.append((0, f2))
     return tuple(rounds)
 
 

@@ -61,15 +61,26 @@ def test_suggest_rounds_ladder_covers_queue():
     cols = ball_columns(neighbor_offsets(10.0, 25.0))
     window = 128
     rounds = suggest_rounds(csr, cols, window)
-    # doubling-quota / halving-fraction ladder with an unbounded tail
-    quotas = [q for q, _ in rounds]
-    fracs = [f for _, f in rounds]
-    assert quotas[-1] == 0, "last round must be the unbounded tail"
-    for a, b in zip(quotas[:-2], quotas[1:-1]):
+    # doubling-quota / halving-fraction ladder, then a WIDENING ladder
+    # of unbounded tails (r4: a single fixed-fraction tail starved the
+    # 65M straggler population into the uncompacted safety round)
+    ladder = [(q, f) for q, f in rounds if q > 0]
+    tails = [(q, f) for q, f in rounds if q == 0]
+    assert len(ladder) + len(tails) == len(rounds)
+    quotas = [q for q, _ in ladder]
+    fracs = [f for _, f in ladder] + [tails[0][1]]
+    assert tails, "must end with unbounded tail rounds"
+    for a, b in zip(quotas[:-1], quotas[1:]):
         assert b == 2 * a
     for a, b in zip(fracs[:-1], fracs[1:]):
         assert b == pytest.approx(a / 2)
     assert min(fracs) >= 1.0 / 256.0 - 1e-12
+    # tails widen (monotone non-decreasing fractions) and the last
+    # covers half the pose batch
+    tail_fracs = [f for _, f in tails]
+    for a, b in zip(tail_fracs[:-1], tail_fracs[1:]):
+        assert b > a
+    assert tail_fracs[-1] == pytest.approx(0.5)
     # cumulative scheduled quota + the tail covers the estimated queue:
     # occupancy chunks x ball columns, quantized to the next pow2
     chunks = int(np.ceil(_column_occupancy(csr, 0.90) / window))

@@ -91,10 +91,12 @@ def main() -> None:
 
     cases = [
         ("default(128)", dict()),
+        ("block64", dict(block_rows=64)),
         ("block256", dict(block_rows=256)),
         ("block512", dict(block_rows=512)),
         ("block1024", dict(block_rows=1024)),
         ("parallel", dict(parallel=True)),
+        ("par_block128", dict(block_rows=128, parallel=True)),
         ("par_block512", dict(block_rows=512, parallel=True)),
     ]
     base = None
