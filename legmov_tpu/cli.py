@@ -338,9 +338,10 @@ def main() -> None:
         help="shared = reference octree rule (k legs on one foothold); "
         "per-leg = each leg may use its own foothold",
     )
-    p.add_argument("--csr-window", type=int, default=2048,
-                   help="CSR cell-evaluator candidate window "
-                   "(multiple of 128; the deep-level tuning knob)")
+    p.add_argument("--csr-window", type=int, default=0,
+                   help="CSR cell-evaluator candidate window (multiple "
+                   "of 128; 0 = per-mode optimum: 2048 shared / 1024 "
+                   "per-leg, measured r4)")
     p.add_argument("--csr-cell-chunk", type=int, default=32768,
                    help="cell batch size for the CSR deep levels")
     p.set_defaults(fn=cmd_solve)

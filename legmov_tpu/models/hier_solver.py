@@ -403,7 +403,7 @@ def solve_positionability(
     use_pallas: str = "auto",
     profile: bool = False,
     candidates: str = "auto",
-    csr_window: int = 2048,
+    csr_window: int = 0,
     csr_cell_chunk: int = 32768,
     mesh=None,
 ) -> CellRecord:
@@ -450,6 +450,15 @@ def solve_positionability(
     profile = profile or bool(_os.environ.get("LEGMOV_HIER_PROFILE"))
     _t_solve0 = _time.perf_counter()
     ndev = int(mesh.size) if mesh is not None else 1
+    if not csr_window:
+        # per-mode optimum measured on the depth-7 256^2 moon solve
+        # (r4, bdata/tpu + RESULTS.md): the quat-major per-leg kernel
+        # re-streams each window per orientation, so the smallest
+        # window above the DMA fetch floor wins (w1024: 221 -> 198 s);
+        # the chunk-major shared kernel streams once and prefers the
+        # middle of its step-count/fetch-size tradeoff (w2048: 347 s
+        # vs 398 @1024, 468 @4096)
+        csr_window = 2048 if shared_foothold else 1024
     k = cfg.legs_for_stability
     reach = _total_reach(robot)
     quats = jnp.asarray(orientation_samples(cfg))
