@@ -351,6 +351,18 @@ def make_csr_solver(
     L = int(jax.tree.leaves(robot)[0].shape[0])
     mount_vec, reach_l = robot_geometry(robot)
 
+    #: r4 on-chip bisect (tools/gather_fault_bisect.py, RESULTS.md): a
+    #: while_loop issuing THREE [poses, window] XLA gathers per step
+    #: from ~10M-element f32 source arrays crashes the TPU worker
+    #: process at every window width — with NO Pallas involved (the
+    #: multi-leg kernel runs clean on the same gathered shapes, and the
+    #: identical program survives at 1M).  The fault is in XLA:TPU
+    #: gather at large source scale, so this path hard-fails above the
+    #: known-good scale instead of letting users crash the shared
+    #: worker; the in-kernel-DMA solver (make_csr_dma_solver) runs the
+    #: same queues exactly at 65M+ and is the supported map-scale path.
+    _GATHER_F_MAX = 2_000_000
+
     @partial(jax.jit, static_argnames=("k", "dims", "cell_size"))
     def solve(
         body, quats, xs, ys, zs, starts, origin, columns,
@@ -359,6 +371,20 @@ def make_csr_solver(
         P = body.shape[0]
         C = columns.shape[0]
         F = xs.shape[0]
+        if (F > _GATHER_F_MAX and not interpret
+                and jax.default_backend() == "tpu"):
+            import os as _os
+
+            if not _os.environ.get("LEGMOV_ALLOW_BIG_GATHER"):
+                raise ValueError(
+                    f"make_csr_solver: {F} footholds exceeds the "
+                    f"known-good XLA-gather scale ({_GATHER_F_MAX}) on "
+                    "this TPU target - the gather path crashes the TPU "
+                    "worker at ~10M-element sources (r4 bisect, "
+                    "RESULTS.md).  Use make_csr_dma_solver (exact same "
+                    "results, runs at 65M+), or set "
+                    "LEGMOV_ALLOW_BIG_GATHER=1 to override."
+                )
         if F == 0:
             return (
                 jnp.zeros((P, L), bool),
