@@ -505,14 +505,29 @@ def solve_positionability(
     # mesh (footholds/quats/robot replicated); the CSR evaluator is
     # wrapped at factory time below
     eval_dense = _eval_cells
+    to_sharded = to_repl = jnp.asarray
+    robot_dev = robot
+    quats_dev = quats
     if ndev > 1:
-        from legmov_tpu.parallel.sharding import sharded_cell_eval
+        from legmov_tpu.parallel.sharding import (
+            sharded_cell_eval,
+            stage_for_mesh,
+        )
 
         eval_dense = sharded_cell_eval(mesh, _eval_cells)
         if fast_eval is not None:
             fast_eval = sharded_cell_eval(mesh, fast_eval)
         if fast_rot_eval is not None:
             fast_rot_eval = sharded_cell_eval(mesh, fast_rot_eval)
+        # multi-process meshes need explicitly-global shard_map inputs
+        # (every process runs this same host loop in SPMD lockstep and
+        # contributes its own shard slices); single-process meshes pass
+        # through jnp.asarray.  Table COMPUTATIONS stay process-local
+        # (identical on every process); only evaluator operands are
+        # staged globally.
+        to_sharded, to_repl = stage_for_mesh(mesh)
+        quats_dev = to_repl(np.asarray(quats))
+        robot_dev = jax.tree.map(lambda x: to_repl(np.asarray(x)), robot)
 
     # pad footholds to a chunk multiple with far-away sentinels that the
     # elongated-box prefilter rejects
@@ -521,7 +536,7 @@ def solve_positionability(
     fh = np.concatenate(
         [footholds, np.full((pad, 3), 1e9, _f32)]
     ).astype(_f32)
-    fh_dev = jnp.asarray(fh)
+    fh_dev = to_repl(fh)
 
     # CSR-streaming candidates for orientation-active levels: footholds
     # uploaded ONCE in cell-sorted CSR form; per-cell elongated boxes
@@ -548,8 +563,11 @@ def solve_positionability(
         xs2, ys2, zs2, dead_elem = pad_csr_soa(
             csr.xs, csr.ys, csr.zs, w_fetch
         )
+        if ndev > 1:
+            xs2, ys2, zs2 = to_repl(xs2), to_repl(ys2), to_repl(zs2)
         csr_env = dict(
             csr=csr, xs2=xs2, ys2=ys2, zs2=zs2, dead_elem=dead_elem,
+            starts_dev=to_repl(csr.starts), origin_dev=to_repl(csr.origin),
             starts_h=np.asarray(csr.starts), fns={},
             R_CAP=R_CAP, level_tables=level_tables,
             make_eval=make_csr_cell_eval, host_max=slab_queue_host_max,
@@ -662,7 +680,12 @@ def solve_positionability(
             rmounts, reach_l_d, r_cell = csr_env["ball_params"](
                 quats, robot, child_half, float(margin)
             )
-            elong_d = jnp.asarray(elong_np)
+            elong_d = to_repl(elong_np)
+            if ndev > 1:
+                legtab = to_repl(legtab)
+                rmounts = to_repl(rmounts)
+                reach_l_d = to_repl(reach_l_d)
+                r_cell = to_repl(np.asarray(r_cell))
             t_disp0 = _time.perf_counter()
             pending_c = []
             for s in range(0, C, cells_pad):
@@ -676,10 +699,11 @@ def solve_positionability(
                     [child_parent_valid[s:e], np.zeros(cpad, bool)]
                 )
                 v, ed, lf, over = ev_csr(
-                    jnp.asarray(cc), jnp.asarray(pv), legtab, elong_d,
+                    to_sharded(cc), to_sharded(pv), legtab, elong_d,
                     rmounts, reach_l_d, r_cell,
                     csr_env["xs2"], csr_env["ys2"], csr_env["zs2"],
-                    csr.starts, csr.origin, cell_size=csr.cell_size,
+                    csr_env["starts_dev"], csr_env["origin_dev"],
+                    cell_size=csr.cell_size,
                     dims=csr.dims, dead_elem=csr_env["dead_elem"],
                 )
                 pending_c.append(
@@ -739,7 +763,7 @@ def solve_positionability(
                     sub = np.concatenate(
                         [sub, np.full((fsz - sub.shape[0], 3), 1e9, _f32)]
                     )
-                    fh_batch = jnp.asarray(sub)
+                    fh_batch = to_repl(sub)
                     sub_bytes += sub.nbytes
                 else:
                     fh_batch = fh_dev
@@ -749,13 +773,13 @@ def solve_positionability(
                 else:
                     ev = fast_eval if fast_eval is not None else eval_dense
                 v, ed, lf = ev(
-                    jnp.asarray(cc),
-                    jnp.asarray(pv),
-                    jnp.asarray(child_half),
-                    jnp.asarray(half),
+                    to_sharded(cc),
+                    to_sharded(pv),
+                    to_repl(child_half),
+                    to_repl(half),
                     fh_batch,
-                    quats,
-                    robot,
+                    quats_dev,
+                    robot_dev,
                     k=k,
                     margin=float(margin),
                     reach=reach,

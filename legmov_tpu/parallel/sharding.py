@@ -185,6 +185,42 @@ def _all_axes(mesh: Mesh) -> tuple:
     return tuple(mesh.axis_names)
 
 
+def stage_for_mesh(mesh: Mesh):
+    """``(to_sharded, to_repl)`` input-staging functions for ``mesh``.
+
+    Multi-process meshes (jax.distributed) require explicitly GLOBAL
+    arrays as shard_map inputs: every process passes the same host
+    values and jax assembles the global array from the per-process
+    addressable shards (``jax.make_array_from_callback`` — each process
+    materializes exactly its own shard slices).  Single-process meshes
+    (including the driver's virtual-device mesh) pass through
+    ``jnp.asarray``.  ``to_sharded`` lays the leading axis over every
+    mesh axis (the cell/pose data axis); ``to_repl`` replicates.
+    """
+    import numpy as np
+
+    multi = any(
+        d.process_index != jax.process_index()
+        for d in mesh.devices.flat
+    )
+    if not multi:
+        return jnp.asarray, jnp.asarray
+    from jax.sharding import NamedSharding
+
+    ax = _all_axes(mesh)
+
+    def mk(spec):
+        def stage(arr):
+            a = np.asarray(arr)
+            return jax.make_array_from_callback(
+                a.shape, NamedSharding(mesh, spec), lambda idx: a[idx]
+            )
+
+        return stage
+
+    return mk(P(ax)), mk(P())
+
+
 def sharded_cell_eval(mesh: Mesh, ev):
     """Shard a dense hierarchical cell evaluator over the mesh.
 
@@ -214,11 +250,17 @@ def sharded_cell_eval(mesh: Mesh, ev):
     def fn(cc, pv, child_half, half, fh, quats, robot,
            k, margin, reach, chunk, use_rot, shared):
         def local(cc_, pv_, ch_, h_, fh_, quats_, robot_):
-            return ev(
+            v, e, lf = ev(
                 cc_, pv_, ch_, h_, fh_, quats_, robot_,
                 k=k, margin=margin, reach=reach, chunk=chunk,
                 use_rot=use_rot, shared=shared,
             )
+            # flags are tiny ([cells] bools): all_gather them so every
+            # device (and in multi-process runs, every HOST) holds the
+            # full level flags — the solver's host loop fetches them
+            # with np.asarray, which needs fully-addressable arrays
+            g = lambda x: jax.lax.all_gather(x, ax, tiled=True)
+            return g(v), g(e), g(lf)
 
         # check_vma off: the evaluators scan foothold chunks with a
         # replicated->varying carry (same situation as
@@ -227,7 +269,7 @@ def sharded_cell_eval(mesh: Mesh, ev):
             local,
             mesh=mesh,
             in_specs=(P(ax), P(ax), P(), P(), P(), P(), P()),
-            out_specs=(P(ax), P(ax), P(ax)),
+            out_specs=(P(), P(), P()),
             check_vma=False,
         )(cc, pv, child_half, half, fh, quats, robot)
 
@@ -260,13 +302,15 @@ def sharded_csr_cell_eval(mesh: Mesh, ev):
                 cell_size=cell_size, dims=dims, dead_elem=dead_elem,
             )
             over = jax.lax.psum(over.astype(jnp.int32), ax) > 0
-            return v, e, lf, over
+            # all_gather the [cells] flag vectors (see sharded_cell_eval)
+            g = lambda x: jax.lax.all_gather(x, ax, tiled=True)
+            return g(v), g(e), g(lf), over
 
         return jax.shard_map(
             local,
             mesh=mesh,
             in_specs=(P(ax), P(ax)) + (P(),) * 10,
-            out_specs=(P(ax), P(ax), P(ax), P()),
+            out_specs=(P(), P(), P(), P()),
             check_vma=False,
         )(cc, pv, legtab, elong, rmounts, reach_l, r_cell,
           xs2, ys2, zs2, starts, origin)

@@ -182,6 +182,40 @@ def worker(proc: int, port: int, args) -> None:
     print(f"proc {proc}: DMA-solver local shards match single-process run",
           flush=True)
 
+    # hierarchical deep solver across the process boundary: both
+    # processes run the SPMD host loop in lockstep, cells shard over the
+    # 4-device global mesh (sharded_{cell,csr_cell}_eval), inputs staged
+    # as global arrays (parallel.sharding.stage_for_mesh), flags
+    # all_gathered so each host fetches the full level — the CellRecord
+    # must equal the single-process (mesh=None) solve exactly
+    from legmov_tpu.config import SolverConfig
+    from legmov_tpu.models.hier_solver import solve_positionability
+
+    cfg = SolverConfig(
+        box_center=(0.0, 0.0, 0.0), box_size=(600.0, 600.0, 150.0),
+        min_box=(80.0, 80.0, 80.0), max_depth=1, legs_for_stability=2,
+        enable_rot_below=200.0, angle_samples=(2, 1, 1),
+    )
+    fh_h = fh.copy()
+    fh_h[:, 2] = np.random.default_rng(3).uniform(
+        -180, -100, fh_h.shape[0]
+    ).astype(np.float32)
+    rec_local = solve_positionability(
+        fh_h, robot, cfg, chunk=128, cell_batch=64, shared_foothold=True,
+        candidates="csr", use_pallas="off", csr_window=128,
+        csr_cell_chunk=64,
+    )
+    rec_mesh = solve_positionability(
+        fh_h, robot, cfg, chunk=128, cell_batch=64, shared_foothold=True,
+        candidates="csr", use_pallas="off", csr_window=128,
+        csr_cell_chunk=64, mesh=mesh,
+    )
+    np.testing.assert_array_equal(rec_local.centers, rec_mesh.centers)
+    np.testing.assert_array_equal(rec_local.valid, rec_mesh.valid)
+    np.testing.assert_array_equal(rec_local.edge, rec_mesh.edge)
+    print(f"proc {proc}: hier-solver CellRecord matches single-process "
+          "solve across the process boundary", flush=True)
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
