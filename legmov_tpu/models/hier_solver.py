@@ -557,7 +557,13 @@ def solve_positionability(
         )
         from legmov_tpu.ops.csr_grid import build_csr_grid
 
-        cs_cell = reach  # ~1 reach per cell: 3-4 x-slabs per deep box
+        # ~1 reach per grid cell: 3-4 x-slabs per deep elongated box.
+        # LEGMOV_HIER_CS_FRAC scales it for on-chip tuning: fatter
+        # slabs pack more real points per fixed-size DMA window (less
+        # fetch padding) at the cost of coarser slab role masks.
+        cs_cell = reach * float(
+            _os.environ.get("LEGMOV_HIER_CS_FRAC", "1.0") or 1.0
+        )
         csr = build_csr_grid(footholds.astype(_f32), cs_cell)
         w_fetch = (-(-csr_window // _CSR_ALIGN) + 1) * _CSR_ALIGN
         xs2, ys2, zs2, dead_elem = pad_csr_soa(
@@ -629,17 +635,20 @@ def solve_positionability(
                 np.asarray(csr.origin), csr.cell_size, csr.dims,
                 csr_window,
             )
-            # chunk-major shared kernel iterates quats in-kernel: its
-            # queue is chunks only; the quat-major per-leg queue is
-            # S x chunks.  LEGMOV_CSR_QUAT_MAJOR=1 falls shared mode
-            # back to the quat-major kernel (ADVICE r3: a Mosaic
-            # regression escape hatch for the chunk-major form).
-            chunk_major = not bool(
+            # kernel-form default is per RULE, from the r4 on-chip
+            # depth-7 ladder: the chunk-major kernel wins shared mode
+            # (347 s vs 564 quat-major — one stream per window instead
+            # of S), while per-leg keeps the QUAT-major kernel (198.5 s
+            # vs 260-271 chunk-major: its per-quat run-state forces an
+            # in-kernel fori + dynamic SMEM writes that defeat Mosaic's
+            # static-grid pipelining, the same lesson as the r3
+            # while-loop ablation).  LEGMOV_CSR_QUAT_MAJOR=1 forces the
+            # Mosaic-simpler quat-major form for BOTH rules (escape
+            # hatch).
+            chunk_major = shared_foothold and not bool(
                 int(_os.environ.get("LEGMOV_CSR_QUAT_MAJOR", "0") or 0)
             )
-            q_base = (
-                maxch if (shared_foothold and chunk_major) else S * maxch
-            )
+            q_base = maxch if chunk_major else S * maxch
             q_steps = max(8, 1 << (max(q_base, 1) - 1).bit_length())
             cells_pad = max(
                 8, min(csr_cell_chunk, 1 << (max(C - 1, 1)).bit_length())

@@ -192,18 +192,19 @@ def make_csr_cell_eval(
     Static shape knobs (one compiled program per distinct tuple):
     ``n_quats`` (orientation samples, e.g. 27 or 1), ``cells`` (padded
     level-chunk size, multiple of 8), ``q_steps`` (padded queue width —
-    NOTE the per-mode rule: in shared chunk-major mode (the default for
-    ``shared=True``) the queue holds CHUNKS only, so ``q_steps`` must be
-    a pow2 >= max chunks per cell; in quat-major mode (``shared=False``,
-    or ``shared=True`` with ``chunk_major=False``) the queue is
-    (quat, chunk)-unrolled, pow2 >= ``n_quats`` * max chunks per cell).
+    NOTE the per-mode rule: in chunk-major mode (the default, BOTH
+    rules since r4) the queue holds CHUNKS only, so ``q_steps`` must be
+    a pow2 >= max chunks per cell; in quat-major mode
+    (``chunk_major=False``) the queue is (quat, chunk)-unrolled, pow2
+    >= ``n_quats`` * max chunks per cell).
 
-    ``chunk_major=False`` is the fallback knob for shared mode: it routes
-    shared-rule evaluation through the quat-major kernel (each queue step
-    is one (quat, chunk) pair; no in-kernel fori_loop over quats, no
-    packed qbits SMEM words) — the Mosaic-simpler form to fall back to if
-    the chunk-major kernel misbehaves on a target.  Flags are identical
-    across the two forms.
+    ``chunk_major=False`` is the fallback knob: it routes evaluation
+    through the quat-major kernel (each queue step is one (quat, chunk)
+    pair; no in-kernel fori_loop over quats, no packed qbits SMEM
+    words, no dynamic SMEM run-state writes) — the Mosaic-simpler form
+    to fall back to if a chunk-major kernel misbehaves on a target
+    (env ``LEGMOV_CSR_QUAT_MAJOR=1`` in the hier solver).  Flags are
+    identical across the forms.
 
     Returns ``eval(centers [C,3], parent_valid [C], legtab [S, W],
     elong [3], rmounts [S, L, 3], reach_l [L], r_cell, xs2, ys2, zs2
@@ -228,10 +229,12 @@ def make_csr_cell_eval(
     w_rows = w_fetch // _LANES
     kf = np.float32(k)
     Lk = np.float32(L - k)
-    #: shared chunk-major mode packs each (step, quat) role byte 4-per-word
+    #: chunk-major modes pack each (step, quat) role byte 4-per-word
     WPS = (S + 3) // 4
-    #: queue/kernel layout: chunk-major only applies to the shared rule
-    use_cm = shared and chunk_major
+    #: queue/kernel layout: chunk-major for both rules unless the
+    #: quat-major fallback is requested (per-leg chunk-major packs
+    #: 3 L-bit groups per int32 — fine up to the L <= 6 cap above)
+    use_cm = chunk_major
 
     def kernel(starts_ref, qinfo_ref, cellinfo_ref, legtab_ref,
                xs_ref, ys_ref, zs_ref, o_ref, sx, sy, sz, rc_ref, cc_ref,
@@ -541,6 +544,145 @@ def make_csr_cell_eval(
                     + (lane == 2).astype(jnp.int32) * acc_ref[row, 2]
                 )
 
+    def kernel_cm_perleg(starts_ref, qinfo_ref, qbits_ref, cellinfo_ref,
+                         legtab_ref, xs_ref, ys_ref, zs_ref, o_ref,
+                         sx, sy, sz, run2_ref, acc_ref, sems):
+        """CHUNK-major PER-LEG evaluator: each queue step streams one
+        candidate window ONCE and folds it into per-(row, quat) run
+        bits held in SMEM — the quat-major form re-DMAs every window
+        per orientation (S x the HBM traffic, exactly what the shared
+        chunk-major kernel eliminated; measured r4: per-leg w1024 only
+        reached 198.5 s because of that re-streaming).
+
+        State: ``run2_ref[row, q]`` packs 3 bit-groups of L bits
+        (any-ok | certain | possible) per orientation.  ``valid``
+        accumulates INCREMENTALLY (any-ok counts are monotone over
+        chunks); ``edge`` needs each quat's final nmin/nmax, so it
+        folds once at the row's LAST live chunk over all quats.  A
+        (chunk, quat, leg) evaluation is skipped when the leg's ball
+        misses the slab (build-time infl bits) or the leg is already
+        settled for that quat (any-ok AND certain seen — ``possible``
+        is implied by certain)."""
+        s = pl.program_id(1)
+        n_steps = pl.num_programs(1)
+
+        @pl.when(s == 0)
+        def _init():
+            for row in range(_ROWS):
+                for j in range(4):
+                    acc_ref[row, j] = jnp.int32(0)
+                for q in range(S):
+                    run2_ref[row, q] = jnp.int32(0)
+
+        def flags(row):
+            info = qinfo_ref[row, s]
+            return info & 1, (info >> 1) & 1  # live, last
+
+        comps = ((xs_ref, sx, 0), (ys_ref, sy, 1), (zs_ref, sz, 2))
+        for row in range(_ROWS):
+            live, _last = flags(row)
+
+            @pl.when(live != 0)
+            def _start(row=row):
+                st = starts_ref[row, s]
+                for src, dst, ci in comps:
+                    pltpu.make_async_copy(
+                        src.at[pl.ds(st, w_rows), :], dst.at[row],
+                        sems.at[ci, row],
+                    ).start()
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+        for row in range(_ROWS):
+            live, last = flags(row)
+
+            def anyb(v):
+                return (
+                    jnp.max(v.astype(jnp.float32)) > 0
+                ).astype(jnp.int32)
+
+            @pl.when(live != 0)
+            def _eval(row=row, last=last, anyb=anyb):
+                st = starts_ref[row, s]
+                for src, dst, ci in comps:
+                    pltpu.make_async_copy(
+                        src.at[pl.ds(st, w_rows), :], dst.at[row],
+                        sems.at[ci, row],
+                    ).wait()
+
+                def qbody(q, carry, _row=row):
+                    word = qbits_ref[_row, s * WPS + q // 4]
+                    bits = (word >> (8 * (q % 4))) & 0xFF
+                    st8 = run2_ref[_row, q]
+                    need = jnp.int32(0)
+                    for l in range(L):
+                        settled = ((st8 >> l) & 1) & (
+                            (st8 >> (L + l)) & 1
+                        )
+                        need = need | ((settled ^ 1) << l)
+                    m = bits & 0x3F & need
+
+                    @pl.when(m != 0)
+                    def _q(q=q, m=m):
+                        def sH(i, _q=q):
+                            if i in (4, 5, 6):
+                                return cellinfo_ref[_row, i - 4]
+                            if i == 7:  # parent_valid: shared-rule
+                                return np.float32(0.0)  # term, unused
+                            return legtab_ref[_q, i]
+
+                        pre, vx_, vy_, vz_ = head_fn(
+                            sH, sx[_row], sy[_row], sz[_row]
+                        )
+                        for l, leg_fn in enumerate(leg_evals):
+                            @pl.when(((m >> l) & 1) != 0)
+                            def _leg(l=l, leg_fn=leg_fn):
+                                okp, crossed = leg_fn(
+                                    sH, pre, vx_, vy_, vz_
+                                )
+                                run2_ref[_row, q] = run2_ref[_row, q] | (
+                                    (anyb(okp) << l)
+                                    | (anyb(okp & ~crossed) << (L + l))
+                                    | (anyb(okp | crossed) << (2 * L + l))
+                                )
+                        # incremental valid: any-ok bits are monotone
+                        st2 = run2_ref[_row, q]
+                        cnt = jnp.int32(0)
+                        for l in range(L):
+                            cnt = cnt + ((st2 >> l) & 1)
+                        acc_ref[_row, 0] = acc_ref[_row, 0] | (
+                            cnt >= k
+                        ).astype(jnp.int32)
+                    return carry
+
+                jax.lax.fori_loop(0, S, qbody, jnp.int32(0))
+
+                @pl.when(last != 0)
+                def _fin(row=row):
+                    def fin_q(q, carry):
+                        st8 = run2_ref[row, q]
+                        cnt = nmin = nmax = jnp.int32(0)
+                        for l in range(L):
+                            cnt = cnt + ((st8 >> l) & 1)
+                            nmin = nmin + ((st8 >> (L + l)) & 1)
+                            nmax = nmax + ((st8 >> (2 * L + l)) & 1)
+                        acc_ref[row, 0] = acc_ref[row, 0] | (
+                            cnt >= k
+                        ).astype(jnp.int32)
+                        acc_ref[row, 1] = acc_ref[row, 1] | (
+                            (nmin < k) & (nmax >= k)
+                        ).astype(jnp.int32)
+                        return carry
+
+                    jax.lax.fori_loop(0, S, fin_q, jnp.int32(0))
+
+        @pl.when(s == n_steps - 1)
+        def _emit():
+            for row in range(_ROWS):
+                o_ref[row : row + 1, :] = (
+                    (lane == 0).astype(jnp.int32) * acc_ref[row, 0]
+                    + (lane == 1).astype(jnp.int32) * acc_ref[row, 1]
+                )
+
     @partial(jax.jit, static_argnames=("cell_size", "dims", "dead_elem"))
     def eval_fn(
         centers, parent_valid, legtab, elong, rmounts, reach_l, r_cell,
@@ -670,7 +812,15 @@ def make_csr_cell_eval(
                 | (sb[..., 2] << 16)
                 | (sb[..., 3] << 24)
             ).reshape(C, q_steps * WPS).astype(jnp.int32)
-            qinfo = (live | (vany << 1) | (eany << 2)).astype(jnp.int32)
+            if shared:
+                qinfo = (
+                    live | (vany << 1) | (eany << 2)
+                ).astype(jnp.int32)
+            else:
+                lastb = (
+                    (cidx == tot - 1).astype(jnp.int32) * live
+                )
+                qinfo = (live | (lastb << 1)).astype(jnp.int32)
         else:
             endq = (cidx == tot - 1).astype(jnp.int32)
             qclamp = jnp.minimum(qidx, S - 1)
@@ -706,29 +856,41 @@ def make_csr_cell_eval(
             for _ in range(5)
         ]
         if use_cm:
+            cm_in_specs = [
+                smem_q,
+                smem_q,
+                pl.BlockSpec((_ROWS, q_steps * WPS),
+                             lambda i, s: (i, 0),
+                             memory_space=pltpu.SMEM),
+                cell_spec,
+                tab_spec,
+                *any_specs,
+            ]
+            if shared:
+                cm_kernel = kernel_shared
+                cm_scratch = [
+                    *win_scratch,  # sx, sy, sz, rc, cc
+                    pltpu.SMEM((_ROWS, 4), jnp.int32),
+                    pltpu.SemaphoreType.DMA((3, _ROWS)),
+                ]
+            else:
+                cm_kernel = kernel_cm_perleg
+                cm_scratch = [
+                    *win_scratch[:3],  # sx, sy, sz
+                    pltpu.SMEM((_ROWS, S), jnp.int32),  # run2
+                    pltpu.SMEM((_ROWS, 4), jnp.int32),
+                    pltpu.SemaphoreType.DMA((3, _ROWS)),
+                ]
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=0,
                 grid=(C // _ROWS, q_steps),
-                in_specs=[
-                    smem_q,
-                    smem_q,
-                    pl.BlockSpec((_ROWS, q_steps * WPS),
-                                 lambda i, s: (i, 0),
-                                 memory_space=pltpu.SMEM),
-                    cell_spec,
-                    tab_spec,
-                    *any_specs,
-                ],
+                in_specs=cm_in_specs,
                 out_specs=pl.BlockSpec((_ROWS, _LANES),
                                        lambda i, s: (i, 0)),
-                scratch_shapes=[
-                    *win_scratch,
-                    pltpu.SMEM((_ROWS, 4), jnp.int32),
-                    pltpu.SemaphoreType.DMA((3, _ROWS)),
-                ],
+                scratch_shapes=cm_scratch,
             )
             lanes = pl.pallas_call(
-                kernel_shared,
+                cm_kernel,
                 out_shape=jax.ShapeDtypeStruct((C, _LANES), jnp.int32),
                 grid_spec=grid_spec,
                 interpret=interpret,

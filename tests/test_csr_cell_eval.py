@@ -30,17 +30,20 @@ from legmov_tpu.ops.csr_grid import build_csr_grid
     "shared,chunk_major,k",
     (
         # default pair = the two production paths at their production
-        # queue widths (chunk-major shared; quat-major per-leg).  Each
+        # queue widths (chunk-major shared; QUAT-major per-leg — the r4
+        # on-chip ladder kept quat-major as the per-leg default).  Each
         # combo is its own ~90 s XLA-CPU compile of the interpret-mode
         # kernel (execution is ~50 ms), so the mirror quorums and the
-        # quat-major shared fallback (LEGMOV_CSR_QUAT_MAJOR) ride the
-        # slow marker — they re-run once per round via `-m slow`.
+        # non-default kernel forms ride the slow marker — they re-run
+        # once per round via `-m slow`.
         (True, True, 4),
-        (False, True, 3),
+        (False, False, 3),
         pytest.param(True, False, 3, marks=pytest.mark.slow),
+        pytest.param(False, True, 3, marks=pytest.mark.slow),
         pytest.param(True, True, 3, marks=pytest.mark.slow),
         pytest.param(True, False, 4, marks=pytest.mark.slow),
         pytest.param(False, True, 4, marks=pytest.mark.slow),
+        pytest.param(False, False, 4, marks=pytest.mark.slow),
     ),
 )
 def test_csr_cell_eval_matches_dense(shared, chunk_major, k):
@@ -87,7 +90,7 @@ def test_csr_cell_eval_matches_dense(shared, chunk_major, k):
     # kernel's queue holds chunks only; quat-major queues are
     # (quat, chunk)-unrolled — the default suite must cover the tight
     # width hier_solver actually uses (ADVICE r3)
-    q_base = maxch if (shared and chunk_major) else S * maxch
+    q_base = maxch if chunk_major else S * maxch
     q_steps = 1 << (q_base - 1).bit_length()
 
     ev = make_csr_cell_eval(

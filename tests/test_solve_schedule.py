@@ -132,14 +132,20 @@ def test_suggest_rounds_scales_with_density():
     # 100x the points in the same extent -> a longer compaction ladder
     assert len(dense) > len(sparse)
     # ladder shape: doubling quotas over halving fractions, small first
-    # full-pose round, unbounded straggler tail
+    # full-pose round, then a WIDENING ladder of unbounded straggler
+    # tails (r4)
     for r in (sparse, dense):
+        ladder = [(q, f) for q, f in r if q > 0]
+        tails = [(q, f) for q, f in r if q == 0]
         assert r[0][1] == 1.0 and r[0][0] <= 16
-        assert all(b == 2 * a for (a, _), (b, _) in zip(r[:-2], r[1:-1]))
         assert all(
-            fb == fa / 2 for (_, fa), (_, fb) in zip(r[:-1], r[1:])
+            b == 2 * a for (a, _), (b, _) in zip(ladder[:-1], ladder[1:])
         )
-        assert r[-1][0] == 0
+        fr = [f for _, f in ladder] + [tails[0][1]]
+        assert all(fb == fa / 2 for fa, fb in zip(fr[:-1], fr[1:]))
+        assert tails and tails[-1][1] == 0.5
+        tail_fr = [f for _, f in tails]
+        assert all(fb > fa for fa, fb in zip(tail_fr[:-1], tail_fr[1:]))
 
 
 def test_suggest_window_tracks_density():

@@ -115,9 +115,9 @@ def main() -> None:
         )
         want = {True: (vw, ew, lw), False: (vw2, ew2, lw2)}
         for shared, chunk_major in (
-            (True, True), (True, False), (False, True)
+            (True, True), (True, False), (False, True), (False, False)
         ):
-            q_base = maxch if (shared and chunk_major) else S * maxch
+            q_base = maxch if chunk_major else S * maxch
             q_steps = 1 << (q_base - 1).bit_length()
             t0 = time.perf_counter()
             ev = make_csr_cell_eval(
