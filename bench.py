@@ -141,10 +141,10 @@ def chained_timer(eval_fn, pts, leg, k: int, reps: int) -> float:
     best = float("inf")
     stale = 0
     for batch in range(6):
-        if batch >= 2:
+        if batch >= 1:
             # contention on this relay arrives in bursts of seconds to
-            # tens of seconds; spacing the escalation batches samples
-            # independent windows instead of re-drawing inside one burst
+            # tens of seconds; spacing the batches samples independent
+            # windows instead of re-drawing inside one burst
             time.sleep(10.0)
         kk = k if batch < 2 else k * 4
         slopes = chained_timer_samples(eval_fn, pts, leg, kk, reps)
@@ -152,7 +152,10 @@ def chained_timer(eval_fn, pts, leg, k: int, reps: int) -> float:
         spread = float(np.median(slopes)) / max(b, 1e-12)
         improved = b < best * 0.98
         best = min(best, b)
-        if spread <= 1.08:
+        # never accept a single batch: a whole batch can sit inside one
+        # burst with a deceptively tight spread — require two spaced
+        # draws to agree before stopping early
+        if spread <= 1.08 and batch >= 1:
             break
         stale = 0 if improved else stale + 1
         if stale >= 2:

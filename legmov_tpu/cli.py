@@ -342,8 +342,10 @@ def main() -> None:
                    help="CSR cell-evaluator candidate window (multiple "
                    "of 128; 0 = per-mode optimum: 2048 shared / 1024 "
                    "per-leg, measured r4)")
-    p.add_argument("--csr-cell-chunk", type=int, default=32768,
-                   help="cell batch size for the CSR deep levels")
+    p.add_argument("--csr-cell-chunk", type=int, default=0,
+                   help="cell batch size for the CSR deep levels "
+                   "(0 = per-mode optimum: 16384 shared / 32768 "
+                   "per-leg, measured r4)")
     p.set_defaults(fn=cmd_solve)
 
     p = sub.add_parser(

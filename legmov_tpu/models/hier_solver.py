@@ -404,7 +404,7 @@ def solve_positionability(
     profile: bool = False,
     candidates: str = "auto",
     csr_window: int = 0,
-    csr_cell_chunk: int = 32768,
+    csr_cell_chunk: int = 0,
     mesh=None,
 ) -> CellRecord:
     """Breadth-first hierarchical positionability solve.
@@ -459,6 +459,11 @@ def solve_positionability(
         # middle of its step-count/fetch-size tradeoff (w2048: 347 s
         # vs 398 @1024, 468 @4096)
         csr_window = 2048 if shared_foothold else 1024
+    if not csr_cell_chunk:
+        # per-mode optimum from the r4 depth-7 cell-batch ladder:
+        # shared 16384 (324 s vs 332 @8192 / 347 @32768); per-leg
+        # 32768 (198.5 s vs 225 @16384)
+        csr_cell_chunk = 16384 if shared_foothold else 32768
     k = cfg.legs_for_stability
     reach = _total_reach(robot)
     quats = jnp.asarray(orientation_samples(cfg))
