@@ -129,6 +129,74 @@ def test_csr_cell_eval_matches_dense(shared, chunk_major, k):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("shared,chunk_major", ((True, True), (False, True)))
+def test_csr_cell_eval_hex_matches_dense(shared, chunk_major):
+    """L = 6 (hexapod): the maximum leg-bit packing regime — 6 infl
+    bits per role byte and the per-leg chunk-major kernel's 3 x 6 =
+    18-bit run2 words (the L <= 6 cap).  The default quad tests cannot
+    reach those bit positions."""
+    from legmov_tpu.models.robot import HEX_MOUNTS
+
+    rng = np.random.default_rng(2)
+    robot = get_moonbot_robot(HEX_MOUNTS)
+    reach = 711.0
+    k = 6
+    fh = rng.uniform(-1500, 1500, (1200, 3)).astype(np.float32)
+    fh[:, 2] = rng.uniform(-200, -100, 1200)
+    csr = build_csr_grid(fh, 400.0)
+    S = 3
+    rpy = rng.uniform(-0.3, 0.3, (S, 3)).astype(np.float32)
+    quats = np.array(
+        quat.from_rpy(rpy[:, 0], rpy[:, 1], rpy[:, 2]), np.float32
+    )
+    quats[0] = [1, 0, 0, 0]
+    C = 8
+    centers = rng.uniform(-1200, 1200, (C, 3)).astype(np.float32)
+    centers[:, 2] = rng.uniform(50, 150, C)
+    pv = rng.random(C) < 0.3
+    half = np.asarray([40.0, 40.0, 40.0], np.float32)
+    parent_half = np.asarray([80.0, 80.0, 80.0], np.float32)
+    margin = 16.0
+    elong = parent_half + np.float32(reach)
+    window = 256
+    w_fetch = (-(-window // _ALIGN) + 1) * _ALIGN
+    xs2, ys2, zs2, dead = pad_csr_soa(csr.xs, csr.ys, csr.zs, w_fetch)
+    maxch = slab_queue_host_max(
+        centers, elong, np.asarray(csr.starts), np.asarray(csr.origin),
+        csr.cell_size, csr.dims, window,
+    )
+    q_base = maxch if chunk_major else S * maxch
+    q_steps = 1 << (q_base - 1).bit_length()
+    ev = make_csr_cell_eval(
+        robot, k=k, n_quats=S, cells=C, q_steps=q_steps, shared=shared,
+        window=window, interpret=True, chunk_major=chunk_major,
+    )
+    legtab = level_tables(
+        jnp.asarray(quats), jnp.asarray(half), jnp.asarray(parent_half),
+        robot, margin, reach,
+    )
+    rmounts, reach_l, r_cell = ball_mask_params(
+        jnp.asarray(quats), robot, half, margin
+    )
+    v, e, lf, over = ev(
+        jnp.asarray(centers), jnp.asarray(pv), legtab, jnp.asarray(elong),
+        rmounts, reach_l, r_cell,
+        xs2, ys2, zs2, csr.starts, csr.origin, cell_size=csr.cell_size,
+        dims=csr.dims, dead_elem=dead,
+    )
+    vw, ew, lw = _eval_cells(
+        jnp.asarray(centers), jnp.asarray(pv), jnp.asarray(half),
+        jnp.asarray(parent_half), jnp.asarray(fh), jnp.asarray(quats),
+        robot, k=k, margin=margin, reach=reach, chunk=400, use_rot=True,
+        shared=shared,
+    )
+    assert not bool(np.asarray(over))
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(vw))
+    np.testing.assert_array_equal(np.asarray(e), np.asarray(ew))
+    np.testing.assert_array_equal(np.asarray(lf), np.asarray(lw))
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("shared", (True, False))
 def test_solve_positionability_csr_matches_dense(shared):
     """End-to-end: the whole breadth-first solve with CSR-streaming

@@ -66,10 +66,10 @@ def test_suggest_rounds_ladder_covers_queue():
     # 65M straggler population into the uncompacted safety round)
     ladder = [(q, f) for q, f in rounds if q > 0]
     tails = [(q, f) for q, f in rounds if q == 0]
+    assert tails, "must end with unbounded tail rounds"
     assert len(ladder) + len(tails) == len(rounds)
     quotas = [q for q, _ in ladder]
     fracs = [f for _, f in ladder] + [tails[0][1]]
-    assert tails, "must end with unbounded tail rounds"
     for a, b in zip(quotas[:-1], quotas[1:]):
         assert b == 2 * a
     for a, b in zip(fracs[:-1], fracs[1:]):

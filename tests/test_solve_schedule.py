@@ -137,13 +137,14 @@ def test_suggest_rounds_scales_with_density():
     for r in (sparse, dense):
         ladder = [(q, f) for q, f in r if q > 0]
         tails = [(q, f) for q, f in r if q == 0]
+        assert tails, "must end with unbounded tail rounds"
         assert r[0][1] == 1.0 and r[0][0] <= 16
         assert all(
             b == 2 * a for (a, _), (b, _) in zip(ladder[:-1], ladder[1:])
         )
         fr = [f for _, f in ladder] + [tails[0][1]]
         assert all(fb == fa / 2 for fa, fb in zip(fr[:-1], fr[1:]))
-        assert tails and tails[-1][1] == 0.5
+        assert tails[-1][1] == 0.5
         tail_fr = [f for _, f in tails]
         assert all(fb > fa for fa, fb in zip(tail_fr[:-1], tail_fr[1:]))
 

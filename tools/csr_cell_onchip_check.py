@@ -15,10 +15,15 @@ real TPU and asserts flag equality against the dense XLA evaluator
 * quorums k in {3, L} (partial-quorum role masks + the strict all-legs
   benchmark case).
 
-Shapes are kept small (16 cells, 5 quats, ~4k footholds) so each of the
-distinct kernels compiles quickly; the configuration mirrors
-tests/test_csr_cell_eval.py so an on-chip mismatch pinpoints a Mosaic
-lowering divergence, not a logic difference.
+The robot is the HEXAPOD moonbot (L = 6): that exercises the maximum
+leg-bit packing regime — 6 infl bits per role byte, and the per-leg
+chunk-major kernel's 3 x 6 = 18-bit run2 words (the L <= 6 cap) — and
+makes k = L a real all-legs quorum.  (The unit tests and the deep-solve
+workloads cover the quad regime.)  Shapes are kept small (16 cells, 5
+quats, ~4k footholds) so each of the distinct kernels compiles quickly;
+the configuration otherwise mirrors tests/test_csr_cell_eval.py so an
+on-chip mismatch pinpoints a Mosaic lowering divergence, not a logic
+difference.
 
 Run (TPU): ``python tools/csr_cell_onchip_check.py``
 Reference anchor: several_leg_octree.cu:19-151 (validity_child item
@@ -60,7 +65,9 @@ def main() -> None:
     args = ap.parse_args()
 
     rng = np.random.default_rng(args.seed)
-    robot = get_moonbot_robot()
+    from legmov_tpu.models.robot import HEX_MOUNTS
+
+    robot = get_moonbot_robot(HEX_MOUNTS)  # L = 6: max packing regime
     L = 6
     reach = 711.0
     fh = rng.uniform(-1500, 1500, (4000, 3)).astype(np.float32)
