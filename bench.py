@@ -109,13 +109,19 @@ def chained_timer_samples(eval_fn, pts, leg, k: int, reps: int) -> list:
 
     # relay noise is one-sided (delays only — the scalar fetch cannot
     # return before the chain is computed), so min is the baseline
-    # estimator; retry with longer chains if contention noise swamps the
-    # slope entirely
+    # estimator.  The slope is taken between chains of K and 5K (not 1
+    # and K): with a K=1 baseline, baseline inflation of j seconds
+    # biases the slope DOWNWARD by j/(K-1) — a single 5 ms fetch-jitter
+    # draw on the short side fabricates a too-fast kernel (observed
+    # once in r4: a distance reading 40% below the kernel's own VPU
+    # compute bound).  Between K and 5K the same jitter divides by 4K,
+    # and escalation (4x K when the slope collapses) shrinks it
+    # further.
     kk = k
     for _ in range(3):
-        t1 = min(timed(1, reps))
-        tks = timed(kk, reps)
-        slopes = [(tk - t1) / (kk - 1) for tk in tks]
+        t_lo = min(timed(kk, reps))
+        t_his = timed(5 * kk, reps)
+        slopes = [(th - t_lo) / (4 * kk) for th in t_his]
         if float(np.median(slopes)) > 0:
             return slopes
         kk *= 4
