@@ -11,8 +11,11 @@ ONE ROW PER REPEAT (SubSamples, bench.cpp:121-171) so the reference's
 
 Timing uses the dependency-chained slope method from bench.py (the
 relay's ``block_until_ready`` is unreliable, see bench.py docstring);
-each rep contributes one slope sample against the shared K=1 baseline —
-the analogue of the reference's per-subsample cudaEvent rows.
+each rep contributes one slope sample between the K and 5K chains
+(the r4 debiased form — a K=1 baseline lets one-sided fetch jitter
+fabricate too-fast slopes) — the analogue of the reference's
+per-subsample cudaEvent rows.  ``bdata/tpu/`` holds the r2 CSVs taken
+under the older estimator; ``bdata/tpu_r4/`` the debiased refresh.
 
 Run:  python tools/bench_sweep.py --kernels reach          # ~11 compiles
       python tools/bench_sweep.py --kernels dist
