@@ -111,6 +111,11 @@ def main() -> None:
             (int(rng.integers(4, 16)), float(rng.choice([0.5, 0.25]))),
             (0, float(rng.choice([0.125, 0.25]))),
         )
+        if rng.random() < 0.5:
+            # widening tail ladder (r4 suggest_rounds shape): extra
+            # unbounded tails must stay exact whether or not anything
+            # is left undecided when they run
+            rounds = rounds + ((0, min(1.0, rounds[-1][1] * 4)),)
         csr = build_csr_grid(fh, cell)
         cols = jnp.asarray(ball_columns(offs))
         sv = make_csr_solver(robot, window=window, interpret=True,
