@@ -185,25 +185,29 @@ def make_csr_cell_eval(
     shared: bool = True,
     window: int = 2048,
     interpret: bool = False,
-    chunk_major: bool = True,
+    chunk_major: bool | None = None,
 ):
     """Factory: CSR-streaming cell evaluator for one level shape.
 
     Static shape knobs (one compiled program per distinct tuple):
     ``n_quats`` (orientation samples, e.g. 27 or 1), ``cells`` (padded
     level-chunk size, multiple of 8), ``q_steps`` (padded queue width —
-    NOTE the per-mode rule: in chunk-major mode (the default, BOTH
-    rules since r4) the queue holds CHUNKS only, so ``q_steps`` must be
-    a pow2 >= max chunks per cell; in quat-major mode
-    (``chunk_major=False``) the queue is (quat, chunk)-unrolled, pow2
-    >= ``n_quats`` * max chunks per cell).
+    NOTE the per-mode rule: in chunk-major mode the queue holds CHUNKS
+    only, so ``q_steps`` must be a pow2 >= max chunks per cell; in
+    quat-major mode (``chunk_major=False``) the queue is
+    (quat, chunk)-unrolled, pow2 >= ``n_quats`` * max chunks per cell).
 
-    ``chunk_major=False`` is the fallback knob: it routes evaluation
-    through the quat-major kernel (each queue step is one (quat, chunk)
-    pair; no in-kernel fori_loop over quats, no packed qbits SMEM
-    words, no dynamic SMEM run-state writes) — the Mosaic-simpler form
-    to fall back to if a chunk-major kernel misbehaves on a target
-    (env ``LEGMOV_CSR_QUAT_MAJOR=1`` in the hier solver).  Flags are
+    ``chunk_major=None`` (default) picks the measured per-rule
+    production optimum: chunk-major for the SHARED rule (streams every
+    window once across all orientations — depth-7 moon solve 324 s vs
+    564 s quat-major), quat-major for the PER-LEG rule (the chunk-major
+    per-leg form ``kernel_cm_perleg`` carries per-(row, quat) run state
+    through an in-kernel fori with dynamic SMEM writes, defeating
+    Mosaic's static-grid pipelining — measured 260-271 s vs the
+    quat-major 198.5 s, see RESULTS.md r4).  Pass an explicit bool to
+    override; quat-major is also the Mosaic-simpler fallback if a
+    chunk-major kernel misbehaves on a target (env
+    ``LEGMOV_CSR_QUAT_MAJOR=1`` in the hier solver).  Flags are
     identical across the forms.
 
     Returns ``eval(centers [C,3], parent_valid [C], legtab [S, W],
@@ -231,10 +235,10 @@ def make_csr_cell_eval(
     Lk = np.float32(L - k)
     #: chunk-major modes pack each (step, quat) role byte 4-per-word
     WPS = (S + 3) // 4
-    #: queue/kernel layout: chunk-major for both rules unless the
-    #: quat-major fallback is requested (per-leg chunk-major packs
-    #: 3 L-bit groups per int32 — fine up to the L <= 6 cap above)
-    use_cm = chunk_major
+    #: queue/kernel layout: per-rule optimum unless overridden (per-leg
+    #: chunk-major packs 3 L-bit groups per int32 — fine up to the
+    #: L <= 6 cap above)
+    use_cm = shared if chunk_major is None else chunk_major
 
     def kernel(starts_ref, qinfo_ref, cellinfo_ref, legtab_ref,
                xs_ref, ys_ref, zs_ref, o_ref, sx, sy, sz, rc_ref, cc_ref,

@@ -23,8 +23,16 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent XLA-CPU compile cache: the interpret-mode Pallas kernel
 # tests are compile-dominated (~90 s per distinct kernel config, ~50 ms
 # execution), and the suite re-runs identical programs every invocation.
-# First run pays the compiles; re-runs load from /tmp.
-jax.config.update("jax_compilation_cache_dir", "/tmp/legmov_jax_cache")
+# First run pays the compiles; re-runs load from the temp dir.  The dir
+# is namespaced by user: on a multi-user box a world-shared path can be
+# owned by someone else, silently degrading to full recompiles.
+import getpass
+import tempfile
+
+_cache_dir = os.path.join(
+    tempfile.gettempdir(), f"legmov_jax_cache-{getpass.getuser()}"
+)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 4.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 

@@ -21,6 +21,26 @@ Run:  python tools/bench_sweep.py --kernels reach          # ~11 compiles
       python tools/bench_sweep.py --kernels dist
 Already-recorded sizes (>= --reps rows in the CSV) are skipped, so an
 interrupted sweep resumes where it stopped.
+
+Besides the TPU kernels, ``--impl`` selects the reference's OTHER
+compute modes so the full 5-column bench matrix (bench.cpp:61-171) is
+self-measured on this host rather than borrowed from the reference's
+committed CSVs:
+
+* ``--impl oracle``: the strict-fp32 scalar CPU twin
+  (`legmov_tpu.oracle.numpy_ref`) — the `apply_reach_cpu` /
+  `apply_dist_cpu` counterpart (one_leg_global.cu:132-147).  CSVs
+  ``rcpu.csv`` / ``dcpu.csv``, SubSamples_CPU=10 reps.  The twin is a
+  deliberately unvectorized per-point Python loop (~30/300 us per
+  point), so for N > ``--cpu-point-cap`` each rep times a fixed-seed
+  uniform subsample of the grid's points (an unbiased estimate of the
+  mean per-point cost; the true N still labels the row).  Timing is
+  plain ``perf_counter`` — host CPU, no relay.
+* ``--impl ik``: the LM-IK independent baseline
+  (`legmov_tpu.oracle.ik_oracle`) — the RBDL counterpart
+  (rbdl_benchmark.cpp:18-111).  CSV ``ik.csv``, SubSamples_RBDL=3
+  reps, MinPixRBDL=0.4 (reach only, like the reference).  The IK is
+  batch-vectorized NumPy, so full N is timed at every size.
 """
 
 from __future__ import annotations
@@ -77,6 +97,70 @@ def rows_in_csv(path: str, n: int) -> int:
         return sum(1 for line in f if line.startswith(f"{n};"))
 
 
+def run_cpu_sweep(args, leg) -> None:
+    """Oracle-twin / LM-IK ns-per-point sweep on the host CPU.
+
+    Same grid protocol and ``N;ns_per_point`` one-row-per-rep CSV format
+    as the accelerator sweep; see the module docstring for the
+    subsampling rule.  Counterpart of bench.cpp:127-160 CPUMode/RBDLMode.
+    """
+    import time
+
+    from legmov_tpu.oracle.numpy_ref import (
+        oracle_distance,
+        oracle_reachability,
+    )
+
+    if args.impl == "oracle":
+        fns = {"reach": ("rcpu.csv", lambda p: oracle_reachability(p, leg)),
+               "dist": ("dcpu.csv", lambda p: oracle_distance(p, leg))}
+    else:
+        from legmov_tpu.oracle.ik_oracle import ik_reachability
+
+        fns = {"reach": ("ik.csv", lambda p: ik_reachability(p, leg))}
+
+    pitches = sorted(ref_pitches(args.min_pix, args.max_pix), reverse=True)
+    for which in args.kernels.split(","):
+        if which not in fns:
+            continue
+        csv_name, fn = fns[which]
+        csv_path = os.path.join(args.out, csv_name)
+        for pix in pitches:
+            pts = ref_grid(pix)
+            n = pts.shape[0]
+            if n > args.max_points:
+                continue
+            have = rows_in_csv(csv_path, n)
+            if have >= args.reps:
+                print(f"[{which}] N={n}: {have} rows present, skip",
+                      flush=True)
+                continue
+            # oracle: scalar Python loop — subsample huge grids (the
+            # true N labels the row; ns/pt is the subsample mean).
+            # ik: batch-vectorized — always timed at full N.
+            cap = args.cpu_point_cap if args.impl == "oracle" else n
+            rows = []
+            for rep in range(args.reps - have):
+                if n > cap:
+                    sel = np.random.default_rng(1000 + rep).choice(
+                        n, cap, replace=False
+                    )
+                    timed_pts, m = pts[sel], cap
+                else:
+                    timed_pts, m = pts, n
+                t0 = time.perf_counter()
+                fn(timed_pts)
+                rows.append((time.perf_counter() - t0) / m * 1e9)
+            with open(csv_path, "a") as f:
+                for ns in rows:
+                    f.write(f"{n};{ns}\n")
+            print(f"[{which}] pix={pix:<8g} N={n:<10d} "
+                  f"med={float(np.median(rows)):.1f} ns/pt "
+                  f"({len(rows)} rows{', subsampled' if n > cap else ''})",
+                  flush=True)
+            del pts
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="bdata/tpu")
@@ -86,12 +170,21 @@ def main() -> None:
     ap.add_argument("--min-pix", type=float, default=0.04)
     ap.add_argument("--max-pix", type=float, default=50.0)
     ap.add_argument("--max-points", type=int, default=1 << 27)
-    ap.add_argument("--impl", choices=("pallas", "xla"), default="pallas")
+    ap.add_argument("--impl", choices=("pallas", "xla", "oracle", "ik"),
+                    default="pallas")
+    ap.add_argument("--cpu-point-cap", type=int, default=10_000,
+                    help="oracle impl: max points actually timed per rep "
+                    "(larger grids are uniformly subsampled, see docstring)")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
     leg = get_m2_leg()
     kernels = args.kernels.split(",")
+    if args.impl in ("oracle", "ik"):
+        if args.impl == "ik" and args.min_pix < 0.4:
+            args.min_pix = 0.4  # MinPixRBDL (setting_bench.h:10)
+        run_cpu_sweep(args, leg)
+        return
 
     # smallest grid first: fast feedback + warms the toolchain before the
     # multi-minute 66M-point compiles
