@@ -186,6 +186,7 @@ def make_csr_cell_eval(
     window: int = 2048,
     interpret: bool = False,
     chunk_major: bool | None = None,
+    audit: bool = False,
 ):
     """Factory: CSR-streaming cell evaluator for one level shape.
 

@@ -105,7 +105,8 @@ def _coxa_frame(x_ref, y_ref, z_ref, ws):
 
 def make_reachability_kernel(leg: LegDimensions, block_rows: int = 128,
                              interpret: bool = False,
-                             parallel: bool = False):
+                             parallel: bool = False,
+                             interval_valid: bool = True):
     """Jitted ``[N, 3] float32 -> [N] bool`` Pallas evaluator for ``leg``.
 
     Semantics of ops/reachability.py ``reachability_xyz`` with the leg's
@@ -114,6 +115,18 @@ def make_reachability_kernel(leg: LegDimensions, block_rows: int = 128,
     measures whether that helps on the target chip).  The 128-row
     default block won the on-chip config probe twice (0.055/0.062 ns/pt
     vs 0.071 for the previous 256-row default at 16.7M points).
+
+    ``interval_valid`` (default on, r5): because each circle's squared
+    thresholds satisfy ``lo2 < r2 < hi2`` strictly (the CIRCLE_MARGIN
+    band brackets the radius), the validity polarities collapse to
+    single interval compares —
+    ``inside | near  ==  t < hi2`` and ``~inside | near  ==  t > lo2``
+    — one compare each instead of 3 compares + 3 boolean folds, a ~24%
+    VPU-op cut on this compute-bound kernel.  The identity is exact for
+    every f32 ``t`` (the unions are contiguous intervals), so results
+    stay BIT-EXACT; circles whose baked constants violate the strict
+    ordering (fp32-collapsed margins) fall back to the full form
+    per-circle.  Parity: tests/test_pallas.py.
     """
     ws = _concrete_ws(leg)
     coxa_length = float(ws.coxa_length)
@@ -191,10 +204,18 @@ def make_reachability_kernel(leg: LegDimensions, block_rows: int = 128,
         val_pos, val_neg = [], []
         for (ax, ay, r2k, hi2k, lo2k) in uniq_params:
             t = q + ax * xp + ay * yp
-            inside = t <= r2k
-            near = (t < hi2k) & (t > lo2k)
-            val_pos.append(inside | near)
-            val_neg.append(~inside | near)
+            if interval_valid and lo2k < r2k < hi2k:
+                # contiguous-interval collapse (see factory docstring):
+                # bit-exact single compares per polarity.  val_neg is
+                # ~(t <= lo2) rather than (t > lo2) so NaN t keeps the
+                # original ``~inside | near`` truth value (True).
+                val_pos.append(t < hi2k)
+                val_neg.append(~(t <= lo2k))
+            else:
+                inside = t <= r2k
+                near = (t < hi2k) & (t > lo2k)
+                val_pos.append(inside | near)
+                val_neg.append(~inside | near)
         # per-(region, ext) config: AND its 4 slot lookups, then 3 selects
         v = [[None, None], [None, None]]
         for r in range(2):

@@ -82,6 +82,26 @@ def test_soa_entries_match_aos(pts):
 
 
 @pytest.mark.parametrize("name", list(LEGS))
+def test_reachability_interval_collapse_bitexact(name, pts):
+    """The interval-collapsed circle-validity form (default, r5) must be
+    BIT-identical to the full 3-compare form AND the XLA path, including
+    on NaN/inf inputs (where ``~inside | near`` is True for NaN t — the
+    collapsed form preserves that via ``~(t <= lo2)``)."""
+    leg = LEGS[name]()
+    p = np.asarray(pts).copy()
+    rng = np.random.default_rng(3)
+    p[:32] = np.array([np.nan, np.inf, -np.inf, 0.0], np.float32)[
+        rng.integers(0, 4, (32, 3))
+    ]
+    p = jnp.asarray(p)
+    k_new = make_reachability_kernel(leg, interpret=True, interval_valid=True)
+    k_old = make_reachability_kernel(leg, interpret=True, interval_valid=False)
+    got = np.asarray(k_new(p))
+    np.testing.assert_array_equal(got, np.asarray(k_old(p)))
+    np.testing.assert_array_equal(got, np.asarray(reachability_batch(p, leg)))
+
+
+@pytest.mark.parametrize("name", list(LEGS))
 def test_distance_plain_variant_parity(name, pts):
     """The un-optimized kernel variant (no rsqrt clamp, sequential corner
     loop) must also keep the tolerance contract — both variants stay

@@ -52,19 +52,32 @@ def curve(rows: dict[int, list[float]]):
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--ours", default="bdata/tpu")
+    ap.add_argument("--ours", default="bdata/tpu_r4",
+                    help="accelerator sweep CSVs (debiased r4 refresh)")
+    ap.add_argument("--ours-cpu", default="bdata/tpu_r5",
+                    help="self-measured CPU-twin / LM-IK CSVs "
+                    "(tools/bench_sweep.py --impl oracle|ik)")
     ap.add_argument("--ref", default="/root/reference/bdata")
     ap.add_argument("--out", default="bdata/tpu/report.png")
     args = ap.parse_args()
 
+    # our five self-measured compute modes (bench.cpp:61-171 counterparts:
+    # {r,d}gpu -> TPU kernels, {r,d}cpu -> strict-fp32 oracle twin,
+    # rbdl -> LM-IK oracle) beside the reference's five committed columns
     series = {
         "TPU v5e reach": os.path.join(args.ours, "rtpu.csv"),
         "TPU v5e dist": os.path.join(args.ours, "dtpu.csv"),
+        "oracle twin reach (py, 1 thread)":
+            os.path.join(args.ours_cpu, "rcpu.csv"),
+        "oracle twin dist (py, 1 thread)":
+            os.path.join(args.ours_cpu, "dcpu.csv"),
+        "LM-IK oracle (py)": os.path.join(args.ours_cpu, "ik.csv"),
         "GTX1080Ti reach": os.path.join(args.ref, "pc", "rgpu.csv"),
         "GTX1080Ti dist": os.path.join(args.ref, "pc", "dgpu.csv"),
         "Jetson reach": os.path.join(args.ref, "jetson", "rgpu.csv"),
         "Jetson dist": os.path.join(args.ref, "jetson", "dgpu.csv"),
         "i5-12600K reach (1 thread)": os.path.join(args.ref, "pc", "rcpu.csv"),
+        "i5-12600K dist (1 thread)": os.path.join(args.ref, "pc", "dcpu.csv"),
         "RBDL LM-IK": os.path.join(args.ref, "pc", "rbdl.csv"),
     }
     data = {k: load_csv(p) for k, p in series.items()}

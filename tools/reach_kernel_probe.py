@@ -70,14 +70,77 @@ def make_io_only(block_rows: int = 256, interpret: bool = False):
     return K
 
 
+def run_attribution(args) -> None:
+    """VERDICT r4 item 2: settle the reach-kernel roof question.
+
+    Interleaves, in ONE TPU session, chained-timer rounds of
+    {production kernel (interval-collapsed circle validity, r5 default),
+    the r4 full-form kernel, io-only floor}.  Reading the result:
+
+    * io floor ~0.0123 ns/pt (its quiet-day value) while production sits
+      well above its ~0.033 VPU bound -> the gap is kernel-side;
+    * io floor inflated proportionally with production in the same
+      rounds -> the gap is relay/chip contention and the roofline memo
+      stands (~35% of headline perf is contention, not kernel headroom);
+    * interval kernel below full-form by ~the 24% op cut -> ship it
+      (it is the default; this run is the measurement of record).
+    """
+    import numpy as np
+
+    leg = get_m2_leg()
+    pts = make_grid(args.points)
+    n = pts.shape[0]
+    comps = tuple(
+        jnp.asarray(np.ascontiguousarray(np.asarray(pts)[:, i]))
+        for i in range(3)
+    )
+
+    k_int = make_reachability_kernel(leg, interpret=args.interpret)
+    k_full = make_reachability_kernel(leg, interpret=args.interpret,
+                                      interval_valid=False)
+    io = make_io_only(interpret=args.interpret)
+
+    def f_int(c, _leg):
+        return jnp.sum(k_int.soa(*c).astype(jnp.float32))
+
+    def f_full(c, _leg):
+        return jnp.sum(k_full.soa(*c).astype(jnp.float32))
+
+    def f_io(c, _leg):
+        return jnp.sum(io.soa(*c).astype(jnp.float32))
+
+    cases = [("interval(r5)", f_int), ("full(r4)", f_full),
+             ("io_only", f_io)]
+    history = {name: [] for name, _ in cases}
+    for rnd in range(args.rounds):
+        for name, fn in cases:
+            t = chained_timer(fn, comps, leg, args.iters, args.reps)
+            ns = t / n * 1e9
+            history[name].append(ns)
+            print(f"round {rnd} {name:<14} {ns:.4f} ns/pt", flush=True)
+    print("--- summary (min / median over rounds) ---", flush=True)
+    for name, _ in cases:
+        h = history[name]
+        print(f"{name:<14} min={min(h):.4f} med={float(np.median(h)):.4f} "
+              f"all={[round(v, 4) for v in h]}", flush=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--points", type=int, default=1 << 24)
     ap.add_argument("--iters", type=int, default=16)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--rounds", type=int, default=4,
+                    help="--attribution: interleaved A/B/C rounds")
+    ap.add_argument("--attribution", action="store_true",
+                    help="interleaved {interval, full, io-floor} session "
+                    "(VERDICT r4 item 2)")
     ap.add_argument("--interpret", action="store_true",
                     help="CPU smoke (timings meaningless)")
     args = ap.parse_args()
+    if args.attribution:
+        run_attribution(args)
+        return
 
     leg = get_m2_leg()
     pts = make_grid(args.points)
