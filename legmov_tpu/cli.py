@@ -85,6 +85,56 @@ def cmd_evaluate(args) -> None:
         raise SystemExit("no dist_input_t{x,y,z}.bin found; run prepare first")
 
     use_pallas = not args.no_pallas and jax.devices()[0].platform != "cpu"
+    if args.adaptive:
+        # adaptive multi-resolution evaluation (the reference's
+        # recursive_kernel/apply_recurs product path,
+        # one_leg_global.cu:168-251, cross_compiled.cu:81-139):
+        # reachability stays bit-identical to the dense path; distance
+        # is exact on boundary-band points and a cell-center paint in
+        # certified cells (exactly the reference's fillOutKernel
+        # semantics, octree_util.cu:9-26)
+        from legmov_tpu.models.adaptive_field import (
+            adaptive_distance_field,
+        )
+
+        dist_fn = None
+        if use_pallas:
+            from legmov_tpu.ops.pallas_kernels import make_distance_kernel
+
+            kd = make_distance_kernel(leg)
+
+            def dist_fn(p):
+                # pow2 bucketing bounds the compile count across the
+                # per-level batch shapes
+                m = p.shape[0]
+                cap = 1 << max(m - 1, 1).bit_length()
+                pp = jnp.pad(p, ((0, cap - m), (0, 0)))
+                ok, vec = kd(pp)
+                return ok[:m], vec[:m]
+
+        pts = np.stack(comps, axis=-1)
+        t0 = time.perf_counter()
+        f = adaptive_distance_field(
+            pts, leg, max_depth=args.adaptive_depth, dist_fn=dist_fn
+        )
+        t_all = time.perf_counter() - t0
+        reach = f.reachable
+        vec_comps = (f.distance[:, 0], f.distance[:, 1], f.distance[:, 2])
+        n23 = n ** (2.0 / 3.0)
+        print(
+            f"adaptive: {n} points, {f.evals} exact distance evals "
+            f"(N^(2/3)={n23:.0f}, evals/N^(2/3)={f.evals / n23:.2f}, "
+            f"evals/N={f.evals / n:.4f}), exact-distance fraction "
+            f"{float(f.exact_mask.mean()):.4f}, {t_all:.2f} s total"
+        )
+        lio.save_bools(reach, os.path.join(args.dir, "out_reachability.bin"))
+        for comp, ax in zip(vec_comps, "xyz"):
+            lio.save_array(
+                comp, os.path.join(args.dir, f"out_dist_x{ax}.bin")
+            )
+        frac = float(reach.mean()) if n else 0.0
+        print(f"reachable fraction: {frac:.4f}")
+        return
     if use_pallas:
         # fused SoA kernels: the .bin protocol is already SoA, so no
         # layout conversion happens anywhere on this path
@@ -161,11 +211,14 @@ def cmd_solve(args) -> None:
     from legmov_tpu.models.robot import make_robot
     from legmov_tpu.models.leg import get_m2_leg, get_moonbot_leg
 
+    from legmov_tpu.models.robot import HEX_MOUNTS, QUAD_MOUNTS
+
     terrain = lio.load_points(os.path.join(args.dir, "numpy_input_t"))
     if terrain.shape[0] == 0:
         raise SystemExit("no terrain; run prepare first")
     leg_fn = {"moonbot": get_moonbot_leg, "m2": get_m2_leg}[args.leg]
-    robot = make_robot(leg_fn=leg_fn)
+    mounts = HEX_MOUNTS if args.legs == 6 else QUAD_MOUNTS
+    robot = make_robot(mounts, leg_fn=leg_fn)
     cfg = SolverConfig(
         box_center=tuple(np.median(terrain, axis=0).tolist()),
         box_size=(args.box, args.box, args.box),
@@ -310,6 +363,12 @@ def main() -> None:
     p.add_argument("--leg", choices=LEGS, default="m2")
     p.add_argument("--no-pallas", action="store_true",
                    help="force the XLA path even on accelerator")
+    p.add_argument("--adaptive", action="store_true",
+                   help="adaptive multi-resolution evaluation "
+                   "(recursive_kernel equivalent): exact reachability "
+                   "at ~O(N^(2/3)) distance evaluations")
+    p.add_argument("--adaptive-depth", type=int, default=8,
+                   help="max refinement depth of the adaptive octree")
     p.set_defaults(fn=cmd_evaluate)
 
     p = sub.add_parser("report", help="render result images")
@@ -320,6 +379,9 @@ def main() -> None:
     p = sub.add_parser("solve", help="hierarchical positionability solve")
     p.add_argument("--dir", default="data")
     p.add_argument("--leg", choices=LEGS, default="m2")
+    p.add_argument("--legs", type=int, choices=(4, 6), default=4,
+                   help="leg count: 4 = QUAD_MOUNTS (settings.h:42), "
+                   "6 = HEX_MOUNTS")
     p.add_argument("--box", type=float, default=5000.0)
     p.add_argument("--depth", type=int, default=1)
     p.add_argument("--min-box", type=float, default=100.0,

@@ -51,6 +51,7 @@ def adaptive_distance_field(
     max_depth: int = 6,
     margin: float = 1.0,
     exact: str = "boundary",
+    dist_fn=None,
 ) -> AdaptiveField:
     """Evaluate reachability + distance over ``points`` adaptively.
 
@@ -60,7 +61,18 @@ def adaptive_distance_field(
     test, one_leg_global.cu:215).  ``exact``: "boundary" evaluates true
     distance only for points in uncertified cells; "all" for every point
     (reachability is exact either way).
+
+    ``dist_fn(pts [M, 3]) -> (ok [M] bool, vec [M, 3])`` overrides the
+    evaluator used for every batch (default: the XLA ``distance_batch``)
+    — the CLI passes the fused Pallas kernel here so the exact
+    evaluations run at kernel speed on-chip.  It must honor the
+    distance tolerance contract; reachability exactness then follows
+    from the certification test alone.
     """
+    if dist_fn is None:
+        def dist_fn(p):
+            return distance_batch(p, leg)
+
     pts = np.asarray(points, _f32)
     n = pts.shape[0]
     if n == 0:
@@ -85,7 +97,7 @@ def adaptive_distance_field(
         half = (root_half / (1 << d)).astype(_f32)
         size = 2 * half
         centers = lo + (cell_idx + 0.5) * size
-        ok_c, vec_c = distance_batch(jnp.asarray(centers), leg)
+        ok_c, vec_c = dist_fn(jnp.asarray(centers))
         ok_c = np.asarray(ok_c)
         vec_c = np.asarray(vec_c)
         evals += centers.shape[0]
@@ -116,7 +128,24 @@ def adaptive_distance_field(
 
         if d == max_depth or not boundary.any():
             break
-        # children of boundary cells
+        # children of boundary cells — but only cells with >= 2 still-
+        # unresolved points refine (r5): an empty cell can't change any
+        # output, and a 1-point cell is cheaper to finish exactly in
+        # the final band than to chase with one center eval per level.
+        # Without this the octree refines empty space below the
+        # point-grid pitch (measured 453k evals for a 53k-point grid at
+        # depth 8; with density-aware pruning the count tracks the
+        # occupied boundary surface).  Outputs are unchanged: pruned
+        # cells resolve nothing, and their points fall through to the
+        # exact evaluation band.
+        rest_sorted = np.sort(flat_pts[~resolved])
+        cnt = (
+            np.searchsorted(rest_sorted, flat_cells, side="right")
+            - np.searchsorted(rest_sorted, flat_cells, side="left")
+        )
+        boundary &= cnt >= 2
+        if not boundary.any():
+            break
         b = cell_idx[boundary]
         offs = np.array(
             [(i, j, k) for i in (0, 1) for j in (0, 1) for k in (0, 1)],
@@ -127,7 +156,7 @@ def adaptive_distance_field(
     # points in still-boundary cells: evaluate exactly
     rest = ~resolved
     if rest.any():
-        ok_r, vec_r = distance_batch(jnp.asarray(pts[rest]), leg)
+        ok_r, vec_r = dist_fn(jnp.asarray(pts[rest]))
         reach[rest] = np.asarray(ok_r)
         dist[rest] = np.asarray(vec_r)
         depth_out[rest] = max_depth
@@ -137,7 +166,7 @@ def adaptive_distance_field(
     if exact == "all":
         redo = resolved
         if redo.any():
-            ok_r, vec_r = distance_batch(jnp.asarray(pts[redo]), leg)
+            ok_r, vec_r = dist_fn(jnp.asarray(pts[redo]))
             reach[redo] = np.asarray(ok_r)
             dist[redo] = np.asarray(vec_r)
             evals += int(redo.sum())

@@ -552,9 +552,9 @@ def solve_positionability(
     csr_env = None
     if use_csr and F:
         from legmov_tpu.ops.csr_cell_eval import (
-            _ALIGN as _CSR_ALIGN,
             R_CAP,
             ball_mask_params,
+            fetch_width,
             level_tables,
             make_csr_cell_eval,
             pad_csr_soa,
@@ -570,7 +570,7 @@ def solve_positionability(
             _os.environ.get("LEGMOV_HIER_CS_FRAC", "1.0") or 1.0
         )
         csr = build_csr_grid(footholds.astype(_f32), cs_cell)
-        w_fetch = (-(-csr_window // _CSR_ALIGN) + 1) * _CSR_ALIGN
+        w_fetch = fetch_width(csr_window)
         xs2, ys2, zs2, dead_elem = pad_csr_soa(
             csr.xs, csr.ys, csr.zs, w_fetch
         )
@@ -578,6 +578,7 @@ def solve_positionability(
             xs2, ys2, zs2 = to_repl(xs2), to_repl(ys2), to_repl(zs2)
         csr_env = dict(
             csr=csr, xs2=xs2, ys2=ys2, zs2=zs2, dead_elem=dead_elem,
+            w_fetch=w_fetch,
             starts_dev=to_repl(csr.starts), origin_dev=to_repl(csr.origin),
             starts_h=np.asarray(csr.starts), fns={},
             R_CAP=R_CAP, level_tables=level_tables,
@@ -653,6 +654,17 @@ def solve_positionability(
             chunk_major = shared_foothold and not bool(
                 int(_os.environ.get("LEGMOV_CSR_QUAT_MAJOR", "0") or 0)
             )
+            # LEGMOV_HIER_AUDIT=1: in-kernel work counters per level
+            # (chunks evaluated / (chunk, quat) items / leg pipelines —
+            # see make_csr_cell_eval audit docs); single-device only
+            audit = ndev == 1 and bool(
+                int(_os.environ.get("LEGMOV_HIER_AUDIT", "0") or 0)
+            )
+            # LEGMOV_CSR_CHUNK_MASKS=0 reverts to the r4 per-slab role
+            # masks (A/B escape hatch; flags identical either way)
+            chunk_masks = bool(int(
+                _os.environ.get("LEGMOV_CSR_CHUNK_MASKS", "1") or 1
+            ))
             q_base = maxch if chunk_major else S * maxch
             q_steps = max(8, 1 << (max(q_base, 1) - 1).bit_length())
             cells_pad = max(
@@ -671,13 +683,15 @@ def solve_positionability(
                     f"(maxch={maxch})",
                     flush=True,
                 )
-            key = (S, cells_dev, q_steps, chunk_major, ndev)
+            key = (S, cells_dev, q_steps, chunk_major, ndev, audit,
+                   chunk_masks)
             if key not in csr_env["fns"]:
                 ev = csr_env["make_eval"](
                     robot, k=k, n_quats=S, cells=cells_dev,
                     q_steps=q_steps, shared=shared_foothold,
                     window=csr_window, interpret=csr_env["interp"],
-                    chunk_major=chunk_major,
+                    chunk_major=chunk_major, audit=audit,
+                    chunk_masks=chunk_masks,
                 )
                 if ndev > 1:
                     from legmov_tpu.parallel.sharding import (
@@ -712,7 +726,7 @@ def solve_positionability(
                 pv = np.concatenate(
                     [child_parent_valid[s:e], np.zeros(cpad, bool)]
                 )
-                v, ed, lf, over = ev_csr(
+                res = ev_csr(
                     to_sharded(cc), to_sharded(pv), legtab, elong_d,
                     rmounts, reach_l_d, r_cell,
                     csr_env["xs2"], csr_env["ys2"], csr_env["zs2"],
@@ -720,12 +734,15 @@ def solve_positionability(
                     cell_size=csr.cell_size,
                     dims=csr.dims, dead_elem=csr_env["dead_elem"],
                 )
+                v, ed, lf, over = res[:4]
                 pending_c.append(
-                    (s, n, jnp.stack([v, ed, lf]), over)
+                    (s, n, jnp.stack([v, ed, lf]), over,
+                     res[4] if audit else None)
                 )
             t_disp = _time.perf_counter() - t_disp0
             t_fetch0 = _time.perf_counter()
-            for s, n, flags, over in pending_c:
+            audit_tot = np.zeros(3, np.int64)
+            for s, n, flags, over, cnts in pending_c:
                 f = np.asarray(flags)
                 if bool(np.asarray(over)):
                     raise RuntimeError(
@@ -736,6 +753,10 @@ def solve_positionability(
                 valid[s : s + n] = f[0, :n]
                 edge[s : s + n] = f[1, :n]
                 leaf_ok[s : s + n] = f[2, :n]
+                if cnts is not None:
+                    audit_tot += np.asarray(cnts)[:n].sum(
+                        axis=0, dtype=np.int64
+                    )
             if profile:
                 t_fetch = _time.perf_counter() - t_fetch0
                 print(
@@ -743,6 +764,15 @@ def solve_positionability(
                     f"batches={len(pending_c)} batch={cells_pad} "
                     f"rot=True csr q_steps={q_steps} "
                     f"dispatch_s={t_disp:.2f} fetch_s={t_fetch:.2f}",
+                    flush=True,
+                )
+            if audit:
+                print(
+                    f"[hier-audit] depth={depth} cells={C} "
+                    f"chunks_evaluated={int(audit_tot[0])} "
+                    f"chunk_quat_evals={int(audit_tot[1])} "
+                    f"leg_evals={int(audit_tot[2])} "
+                    f"window_elems={csr_env['w_fetch']}",
                     flush=True,
                 )
         else:

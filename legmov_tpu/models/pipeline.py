@@ -231,3 +231,64 @@ def multirot_positionable(solve_fn, body, orientations=None):
             break
         body_work[feasible] = 1e9  # decided poses drop out of relevance
     return feasible, per_round
+
+
+def multirot_positionable_packed(solve_fn, body, orientations=None):
+    """:func:`multirot_positionable` with (pose, orientation) work-item
+    packing — the r4 verdict's "batch orientations into the sweep".
+
+    The serial driver runs one orientation per solver round and fills
+    freed rows with far sentinels, so after the first round (which
+    decides the ~60% easy majority) each of the remaining ~44 rounds
+    advances every straggler by ONE orientation while most of the batch
+    rides along as sentinels.  The streaming solvers already take
+    PER-POSE quaternions, so the batch rows are a free resource: this
+    driver packs the undecided poses' NEXT FEW orientations into the
+    same fixed-shape batch — each round advances every straggler by
+    ~``P / n_undecided`` orientations, collapsing the straggler tail
+    into a handful of rounds at one compiled shape.
+
+    Equivalence with the serial driver is structural: a pose is
+    feasible iff ANY of its orientations reaches quorum, each (pose,
+    orientation) item is solved by the same exact solver, and item
+    results are independent of batch composition (the solver's
+    exactness contract).  ``tests/test_pipeline.py`` asserts equality
+    against the brute-force OR.
+
+    Reference anchor: ``multi_rot_estimator`` (several_leg.cu:787-877).
+    """
+    if orientations is None:
+        orientations = sweep_orientations()
+    ors = np.asarray(orientations, np.float32)
+    body_np = np.asarray(body, np.float32)
+    P, S = body_np.shape[0], ors.shape[0]
+    feasible = np.zeros(P, bool)
+    next_o = np.zeros(P, np.int64)
+    active = np.arange(P)
+    per_round = []
+    while active.size:
+        n = active.size
+        rem = S - next_o[active]
+        g = np.minimum(rem, max(P // n, 1))
+        leftover = P - int(g.sum())
+        if leftover > 0:
+            room = rem - g
+            csum = np.cumsum(room)
+            g = g + np.clip(leftover - (csum - room), 0, room)
+        m = int(g.sum())  # <= P work items this round
+        pose_ids = np.repeat(active, g)
+        intra = np.arange(m) - np.repeat(np.cumsum(g) - g, g)
+        o_idx = np.repeat(next_o[active], g) + intra
+        bodies = np.full((P, 3), 1e9, np.float32)
+        quats = np.tile(ors[0], (P, 1))
+        bodies[:m] = body_np[pose_ids]
+        quats[:m] = ors[o_idx]
+        quorum = np.asarray(
+            solve_fn(jnp.asarray(bodies), jnp.asarray(quats))
+        )
+        hit_poses = np.unique(pose_ids[quorum[:m]])
+        feasible[hit_poses] = True
+        per_round.append(int(hit_poses.size))
+        next_o[active] += g
+        active = active[~feasible[active] & (next_o[active] < S)]
+    return feasible, per_round

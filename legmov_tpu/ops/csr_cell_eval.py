@@ -90,6 +90,23 @@ R_CAP = 6
 _BALL_EPS = np.float32(2.0)
 
 
+def fetch_width(window: int) -> int:
+    """Fetched elements per candidate window.
+
+    When ``window`` is a multiple of the DMA start quantum (``_ALIGN``),
+    chunks anchor ON the quantum grid (r5): every fetch starts exactly at
+    its chunk and spans exactly ``window`` elements — no alignment slack.
+    Otherwise (small test windows) the legacy layout fetches
+    ``window + _ALIGN`` so the rounded-down aligned start still covers
+    the chunk.  The slack elements are real neighboring footholds; they
+    re-evaluate harmlessly (monotone ORs + the exact in-kernel ``pre``
+    box test), but at window 2048 the legacy slack was +50% VPU work on
+    every evaluated chunk — the motivation for the aligned layout."""
+    if window % _ALIGN == 0:
+        return window
+    return (-(-window // _ALIGN) + 1) * _ALIGN
+
+
 def pad_csr_soa(xs, ys, zs, w_fetch: int):
     """Sentinel-pad CSR component arrays for in-kernel DMA streaming.
 
@@ -133,6 +150,7 @@ def slab_queue_host_max(
         np.floor((c32[:, 1] + e32[1] - o32[1]) / cs32), 0, ny - 1
     ).astype(np.int64)
     tot = np.zeros(centers.shape[0], np.int64)
+    aligned = window % _ALIGN == 0  # mirror of the device layout rule
     for dx in range(-R_CAP, R_CAP + 1):
         cxc = base[:, 0] + dx
         ok = (
@@ -144,7 +162,8 @@ def slab_queue_host_max(
         st = starts[(cxs * ny + cy_lo) * nz]
         en = starts[(cxs * ny + cy_hi) * nz + nz]
         ln = np.where(ok, en - st, 0)
-        tot += -(-ln // window)
+        mis = (st.astype(np.int64) % _ALIGN) if aligned else 0
+        tot += np.where(ln > 0, -(-(ln + mis) // window), 0)
     return int(tot.max()) + 1 if tot.size else 0
 
 
@@ -187,6 +206,7 @@ def make_csr_cell_eval(
     interpret: bool = False,
     chunk_major: bool | None = None,
     audit: bool = False,
+    chunk_masks: bool = True,
 ):
     """Factory: CSR-streaming cell evaluator for one level shape.
 
@@ -218,6 +238,23 @@ def make_csr_cell_eval(
     semantics for the given ``shared`` mode.  ``legtab`` comes from
     :func:`level_tables`; the ball-mask args from
     :func:`ball_mask_params`.
+
+    ``audit=True`` (production kernels unchanged when False) adds
+    in-kernel work counters — per cell: [0] chunks DMA'd+evaluated,
+    [1] (chunk, quat) item evaluations, [2] per-leg pipeline
+    evaluations — and extends the return to ``(valid, edge, leaf,
+    over, counts [C, 3] int32)``.  This is the budget attribution the
+    r4 verdict asked for on the deep rot level: counters x the known
+    per-eval costs say whether wall time is mask-admitted eval work or
+    skipped-step overhead.  Supported for the production forms
+    (chunk-major shared, quat-major); the non-production chunk-major
+    per-leg kernel rejects it.
+
+    ``chunk_masks`` (default on, r5): role bytes computed per CHUNK
+    from its own covered cell range (see ``ball_bits`` below) instead
+    of inherited from the whole slab; ``False`` restores the r4
+    per-slab masks (env ``LEGMOV_CSR_CHUNK_MASKS=0`` in the hier
+    solver).  Flags identical either way.
     """
     if window % _LANES:
         raise ValueError(f"window {window} not a multiple of {_LANES}")
@@ -230,8 +267,10 @@ def make_csr_cell_eval(
     S = n_quats
     legs_const = dist_leg_constants(robot)
     head_fn, leg_evals = make_item_parts(legs_const)
-    w_fetch = (-(-window // _ALIGN) + 1) * _ALIGN
+    w_fetch = fetch_width(window)
     w_rows = w_fetch // _LANES
+    #: aligned chunk layout (r5): see fetch_width
+    aligned = window % _ALIGN == 0
     kf = np.float32(k)
     Lk = np.float32(L - k)
     #: chunk-major modes pack each (step, quat) role byte 4-per-word
@@ -240,6 +279,11 @@ def make_csr_cell_eval(
     #: chunk-major packs 3 L-bit groups per int32 — fine up to the
     #: L <= 6 cap above)
     use_cm = shared if chunk_major is None else chunk_major
+    if audit and use_cm and not shared:
+        raise ValueError("audit counters: use the quat-major per-leg "
+                         "form (chunk_major=False)")
+    #: audit counters live in acc slots 4..6 (see docstring)
+    ACC_W = 8 if audit else 4
 
     def kernel(starts_ref, qinfo_ref, cellinfo_ref, legtab_ref,
                xs_ref, ys_ref, zs_ref, o_ref, sx, sy, sz, rc_ref, cc_ref,
@@ -253,7 +297,7 @@ def make_csr_cell_eval(
             for row in range(_ROWS):
                 for j in range(3 * L):
                     run_ref[row, j] = jnp.int32(0)
-                for j in range(4):
+                for j in range(ACC_W):
                     acc_ref[row, j] = jnp.int32(0)
 
         def step_flags(row):
@@ -323,6 +367,10 @@ def make_csr_cell_eval(
                         src.at[pl.ds(st, w_rows), :], dst.at[row],
                         sems.at[ci, row],
                     ).wait()
+                if audit:
+                    # quat-major: a step IS one (chunk, quat) item
+                    acc_ref[row, 4] = acc_ref[row, 4] + 1
+                    acc_ref[row, 5] = acc_ref[row, 5] + 1
                 pv = cellinfo_ref[row, 3] > 0.5
 
                 def sH(i, _row=row, _q=q):
@@ -353,6 +401,8 @@ def make_csr_cell_eval(
                             okp, crossed = leg_fn(
                                 sH, pre, vx_, vy_, vz_
                             )
+                            if audit:
+                                acc_ref[row, 6] = acc_ref[row, 6] + 1
                             rc_ref[row] = rc_ref[row] + okp.astype(
                                 jnp.float32
                             )
@@ -373,6 +423,8 @@ def make_csr_cell_eval(
                             okp, crossed = leg_fn(
                                 sH, pre, vx_, vy_, vz_
                             )
+                            if audit:
+                                acc_ref[row, 6] = acc_ref[row, 6] + 1
                             run_ref[row, l] = run_ref[row, l] | anyb(okp)
                             run_ref[row, L + l] = run_ref[
                                 row, L + l
@@ -415,11 +467,19 @@ def make_csr_cell_eval(
         @pl.when(s == n_steps - 1)
         def _emit():
             for row in range(_ROWS):
-                o_ref[row : row + 1, :] = (
+                out = (
                     (lane == 0).astype(jnp.int32) * acc_ref[row, 0]
                     + (lane == 1).astype(jnp.int32) * acc_ref[row, 1]
                     + (lane == 2).astype(jnp.int32) * acc_ref[row, 2]
                 )
+                if audit:
+                    out = (
+                        out
+                        + (lane == 3).astype(jnp.int32) * acc_ref[row, 4]
+                        + (lane == 4).astype(jnp.int32) * acc_ref[row, 5]
+                        + (lane == 5).astype(jnp.int32) * acc_ref[row, 6]
+                    )
+                o_ref[row : row + 1, :] = out
 
     def kernel_shared(starts_ref, qinfo_ref, qbits_ref, cellinfo_ref,
                       legtab_ref, xs_ref, ys_ref, zs_ref, o_ref,
@@ -441,7 +501,7 @@ def make_csr_cell_eval(
         @pl.when(s == 0)
         def _init():
             for row in range(_ROWS):
-                for j in range(4):
+                for j in range(ACC_W):
                     acc_ref[row, j] = jnp.int32(0)
 
         def chunk_useful(row):
@@ -482,6 +542,8 @@ def make_csr_cell_eval(
                         src.at[pl.ds(st, w_rows), :], dst.at[row],
                         sems.at[ci, row],
                     ).wait()
+                if audit:
+                    acc_ref[row, 4] = acc_ref[row, 4] + 1
                 pv = cellinfo_ref[row, 3] > 0.5
                 pv_i = (cellinfo_ref[row, 3] > 0.5).astype(jnp.int32)
 
@@ -498,6 +560,9 @@ def make_csr_cell_eval(
 
                     @pl.when(uq != 0)
                     def _q(q=q, m=m):
+                        if audit:
+                            acc_ref[_row, 5] = acc_ref[_row, 5] + 1
+
                         def sH(i, _q=q):
                             if i in (4, 5, 6):
                                 return cellinfo_ref[_row, i - 4]
@@ -521,6 +586,10 @@ def make_csr_cell_eval(
                                 okp, crossed = leg_fn(
                                     sH, pre, vx_, vy_, vz_
                                 )
+                                if audit:
+                                    acc_ref[_row, 6] = (
+                                        acc_ref[_row, 6] + 1
+                                    )
                                 rc_ref[_row] = rc_ref[_row] + okp.astype(
                                     jnp.float32
                                 )
@@ -543,11 +612,19 @@ def make_csr_cell_eval(
         @pl.when(s == n_steps - 1)
         def _emit():
             for row in range(_ROWS):
-                o_ref[row : row + 1, :] = (
+                out = (
                     (lane == 0).astype(jnp.int32) * acc_ref[row, 0]
                     + (lane == 1).astype(jnp.int32) * acc_ref[row, 1]
                     + (lane == 2).astype(jnp.int32) * acc_ref[row, 2]
                 )
+                if audit:
+                    out = (
+                        out
+                        + (lane == 3).astype(jnp.int32) * acc_ref[row, 4]
+                        + (lane == 4).astype(jnp.int32) * acc_ref[row, 5]
+                        + (lane == 5).astype(jnp.int32) * acc_ref[row, 6]
+                    )
+                o_ref[row : row + 1, :] = out
 
     def kernel_cm_perleg(starts_ref, qinfo_ref, qbits_ref, cellinfo_ref,
                          legtab_ref, xs_ref, ys_ref, zs_ref, o_ref,
@@ -698,6 +775,7 @@ def make_csr_cell_eval(
         nx, ny, nz = dims
         cs = jnp.float32(cell_size)
         base = jnp.floor((centers - origin) / cs).astype(jnp.int32)
+        starts_i = jnp.asarray(starts, jnp.int32)  # ball_bits searchsorted
 
         # per-cell x-slab CSR ranges: for fixed x-cell, (y-range x all z)
         # is one contiguous CSR slice (z-fastest sort)
@@ -736,7 +814,7 @@ def make_csr_cell_eval(
         cdz = jnp.clip(bc[..., 2], bz_lo, bz_hi) - bc[..., 2]
         dyz2 = cdy * cdy + cdz * cdz  # [C, S, L]
 
-        sts, lens, bits = [], [], []
+        sts, lens, bits, bxs = [], [], [], []
         for dx in range(-R_CAP, R_CAP + 1):
             cxc = base[:, 0] + dx
             ok = (
@@ -769,14 +847,99 @@ def make_csr_cell_eval(
                 jnp.sum(inhit.astype(jnp.int32), axis=-1) > (L - k)
             ).astype(jnp.int32)
             bits.append(inflb | (vb << 6) | (eb << 7))
+            bxs.append(bx_lo)
         slab_st = jnp.stack(sts, axis=1)  # [C, 2R+1]
         slab_len = jnp.stack(lens, axis=1)
         slab_bits = jnp.stack(bits, axis=1)  # [C, 2R+1, S]
+        slab_bx = jnp.stack(bxs, axis=1)  # [C, 2R+1]
         w32 = jnp.int32(window)
-        chunks = (slab_len + (w32 - 1)) // w32
+        if aligned:
+            # r5 aligned layout: chunks anchor on the DMA start quantum
+            # (slab start rounded down to _ALIGN), so every fetch is
+            # exactly `window` elements (fetch_width docstring); the
+            # anchor misalignment joins the slab length in the count
+            mis = slab_st % jnp.int32(_ALIGN)
+        else:
+            mis = jnp.zeros_like(slab_st)
+        chunks = jnp.where(
+            slab_len > 0, (slab_len + mis + (w32 - 1)) // w32, 0
+        )
         cum = jnp.cumsum(chunks, axis=1)
         tot = cum[:, -1:]  # [C, 1]
         totc = jnp.maximum(tot, 1)
+
+        def ball_bits(slabc_k, within_k, live_k):
+            """Per-CHUNK role bytes [C, K, S] (r5, ``chunk_masks``).
+
+            The slab-level masks test balls against the slab's WHOLE
+            y-range over the grid's FULL z-extent; every chunk of the
+            slab inherits them.  Here each chunk's own covered cell
+            range is recovered from its CSR element range (searchsorted
+            on the level's starts — z-fastest sort means a chunk's
+            covered flat-cell range is contiguous), giving a box as
+            narrow as the chunk actually is: y at cell granularity,
+            z too when the chunk sits inside one y-column.  Supersets
+            shrink, skips grow, flags unchanged (the home-range
+            argument in the module docstring is untouched — masks
+            bound each chunk's HOME elements; fetch-slack elements are
+            neighbors' homes and re-evaluate there)."""
+            st_k = jnp.take_along_axis(slab_st, slabc_k, 1)
+            ln_k = jnp.take_along_axis(slab_len, slabc_k, 1)
+            mis_k = jnp.take_along_axis(mis, slabc_k, 1)
+            raw_k = st_k - mis_k + within_k * w32
+            e0 = jnp.maximum(raw_k, st_k)
+            e1 = jnp.maximum(
+                jnp.minimum(raw_k + w32, st_k + ln_k), e0 + 1
+            )
+            ncell = nx * ny * nz
+            f0 = jnp.clip(
+                jnp.searchsorted(starts_i, e0, side="right") - 1,
+                0, ncell - 1,
+            )
+            f1 = jnp.clip(
+                jnp.searchsorted(starts_i, e1 - 1, side="right") - 1,
+                0, ncell - 1,
+            )
+            y0 = (f0 // nz) % ny
+            y1 = (f1 // nz) % ny
+            byl = origin[1] + y0.astype(jnp.float32) * cs
+            byh = origin[1] + (y1 + 1).astype(jnp.float32) * cs
+            same = y0 == y1
+            bzl = jnp.where(
+                same, origin[2] + (f0 % nz).astype(jnp.float32) * cs,
+                bz_lo,
+            )
+            bzh = jnp.where(
+                same,
+                origin[2] + ((f1 % nz) + 1).astype(jnp.float32) * cs,
+                bz_hi,
+            )
+            bxl = jnp.take_along_axis(slab_bx, slabc_k, 1)
+
+            def clipd(v, lo, hi):
+                # [C, S, L] ball coords vs [C, K] box bounds
+                return jnp.clip(
+                    v[:, None, :, :], lo[:, :, None, None],
+                    hi[:, :, None, None],
+                ) - v[:, None, :, :]
+
+            cdx_c = clipd(bc[..., 0], bxl, bxl + cs)
+            cdy_c = clipd(bc[..., 1], byl, byh)
+            cdz_c = clipd(bc[..., 2], bzl, bzh)
+            d2c = cdx_c * cdx_c + cdy_c * cdy_c + cdz_c * cdz_c
+            okh = d2c <= r_ok2[None, None, None, :]
+            inh = d2c <= r_in2[None, None, None, :]
+            iflb = jnp.sum(
+                inh.astype(jnp.int32)
+                * (1 << jnp.arange(L, dtype=jnp.int32)), axis=-1,
+            )  # [C, K, S]
+            vbc = (
+                jnp.sum(okh.astype(jnp.int32), axis=-1) >= k
+            ).astype(jnp.int32)
+            ebc = (
+                jnp.sum(inh.astype(jnp.int32), axis=-1) > (L - k)
+            ).astype(jnp.int32)
+            return (iflb | (vbc << 6) | (ebc << 7)) * live_k[:, :, None]
 
         t = jnp.arange(q_steps, dtype=jnp.int32)[None, :]  # [1, Q]
         if use_cm:
@@ -796,7 +959,11 @@ def make_csr_cell_eval(
             jnp.take_along_axis(cum, jnp.maximum(slabc - 1, 0), 1), 0,
         )
         within = cidx - prev
-        raw = jnp.take_along_axis(slab_st, slabc, 1) + within * w32
+        raw = (
+            jnp.take_along_axis(slab_st, slabc, 1)
+            - jnp.take_along_axis(mis, slabc, 1)
+            + within * w32
+        )
         dead = jnp.int32(dead_elem)
         start_rows = (
             jnp.where(live != 0, jnp.clip(raw, 0, dead), dead)
@@ -804,9 +971,12 @@ def make_csr_cell_eval(
         ) * (_ALIGN // _LANES)
         if use_cm:
             # per-(step, quat) role bytes, 4 packed per int32 word
-            sb = jnp.take_along_axis(
-                slab_bits, slabc[:, :, None], axis=1
-            ) * live[:, :, None]  # [C, Q, S]
+            if chunk_masks:
+                sb = ball_bits(slabc, within, live)  # [C, Q, S]
+            else:
+                sb = jnp.take_along_axis(
+                    slab_bits, slabc[:, :, None], axis=1
+                ) * live[:, :, None]  # [C, Q, S]
             vany = jnp.any((sb >> 6) & 1 > 0, axis=-1).astype(jnp.int32)
             eany = jnp.any((sb >> 7) & 1 > 0, axis=-1).astype(jnp.int32)
             sb = jnp.pad(sb, ((0, 0), (0, 0), (0, 4 * WPS - S)))
@@ -829,10 +999,38 @@ def make_csr_cell_eval(
         else:
             endq = (cidx == tot - 1).astype(jnp.int32)
             qclamp = jnp.minimum(qidx, S - 1)
-            step_bits = jnp.take_along_axis(
-                slab_bits.reshape(C, (2 * R_CAP + 1) * S),
-                slabc * jnp.int32(S) + qclamp, 1,
-            )  # [C, Q]
+            if chunk_masks:
+                # distinct chunks live on a [C, CH] grid (the quat-major
+                # queue unrolls them S-fold); compute per-chunk bytes
+                # once, then gather each step's own quat's byte
+                CH = max(8, 1 << (max(-(-q_steps // S), 1) - 1)
+                         .bit_length())
+                tch = jnp.arange(CH, dtype=jnp.int32)[None, :]
+                live_ch = (tch < tot).astype(jnp.int32)
+                slab_ch = jnp.sum(
+                    (cum[:, None, :] <= tch[:, :, None])
+                    .astype(jnp.int32), -1,
+                )
+                slabc_ch = jnp.minimum(slab_ch, 2 * R_CAP)
+                prev_ch = jnp.where(
+                    slabc_ch > 0,
+                    jnp.take_along_axis(
+                        cum, jnp.maximum(slabc_ch - 1, 0), 1
+                    ), 0,
+                )
+                bits_ch = ball_bits(
+                    slabc_ch, tch - prev_ch, live_ch
+                )  # [C, CH, S]
+                step_bits = jnp.take_along_axis(
+                    bits_ch.reshape(C, CH * S),
+                    jnp.clip(cidx, 0, CH - 1) * jnp.int32(S) + qclamp,
+                    1,
+                )  # [C, Q]
+            else:
+                step_bits = jnp.take_along_axis(
+                    slab_bits.reshape(C, (2 * R_CAP + 1) * S),
+                    slabc * jnp.int32(S) + qclamp, 1,
+                )  # [C, Q]
             qinfo = (
                 qclamp
                 | (endq << 8)
@@ -875,7 +1073,7 @@ def make_csr_cell_eval(
                 cm_kernel = kernel_shared
                 cm_scratch = [
                     *win_scratch,  # sx, sy, sz, rc, cc
-                    pltpu.SMEM((_ROWS, 4), jnp.int32),
+                    pltpu.SMEM((_ROWS, ACC_W), jnp.int32),
                     pltpu.SemaphoreType.DMA((3, _ROWS)),
                 ]
             else:
@@ -916,7 +1114,7 @@ def make_csr_cell_eval(
                 scratch_shapes=[
                     *win_scratch,
                     pltpu.SMEM((_ROWS, 3 * L), jnp.int32),
-                    pltpu.SMEM((_ROWS, 4), jnp.int32),
+                    pltpu.SMEM((_ROWS, ACC_W), jnp.int32),
                     pltpu.SemaphoreType.DMA((3, _ROWS)),
                 ],
             )
@@ -940,6 +1138,8 @@ def make_csr_cell_eval(
         # residual host/device floor divergence)
         q_need = tot if use_cm else tot * jnp.int32(S)
         over = jnp.any(q_need > jnp.int32(q_steps))
+        if audit:
+            return valid, edge, leaf, over, lanes[:, 3:6]
         return valid, edge, leaf, over
 
     return eval_fn

@@ -361,7 +361,11 @@ def make_csr_solver(
     #: known-good scale instead of letting users crash the shared
     #: worker; the in-kernel-DMA solver (make_csr_dma_solver) runs the
     #: same queues exactly at 65M+ and is the supported map-scale path.
-    _GATHER_F_MAX = 2_000_000
+    #: Boundary placed by measurement (r5 probes, /tmp/r5 logs +
+    #: RESULTS.md): full solves clean at 2M and 4M (and at 8M, see the
+    #: r5 probe), crash at 10M — the guard sits at the largest
+    #: round-power scale with measured-clean margin below the fault.
+    _GATHER_F_MAX = 4_000_000
 
     @partial(jax.jit, static_argnames=("k", "dims", "cell_size"))
     def solve(

@@ -50,6 +50,57 @@ def test_pipeline_end_to_end(tmp_path):
 
 
 @pytest.mark.slow
+def test_adaptive_evaluate_matches_dense(tmp_path):
+    """`evaluate --adaptive` (recursive_kernel product surface): exact
+    reachability vs the dense path, far fewer distance evaluations, and
+    painted distances bounded by the certification geometry."""
+    tmp = str(tmp_path)
+    r = run_cli(tmp, "prepare", "--pix-size", "20")
+    assert r.returncode == 0, r.stderr
+
+    r = run_cli(tmp, "evaluate", "--leg", "moonbot")
+    assert r.returncode == 0, r.stderr
+    data = os.path.join(tmp, "data")
+    reach_dense = np.fromfile(
+        os.path.join(data, "out_reachability.bin"), np.uint8
+    )
+    dist_dense = np.stack(
+        [np.fromfile(os.path.join(data, f"out_dist_x{ax}.bin"), np.float32)
+         for ax in "xyz"], -1,
+    )
+
+    r = run_cli(tmp, "evaluate", "--leg", "moonbot", "--adaptive")
+    assert r.returncode == 0, r.stderr
+    assert "adaptive:" in r.stdout
+    evals = int(r.stdout.split("points,")[1].split("exact")[0].strip())
+    n = reach_dense.size
+    # the eval-count claim at this COARSE 20 mm pitch: ~3x below dense
+    # (the exact band is one pitch wide around the boundary surface, so
+    # its fraction shrinks linearly with pitch — the O(N^(2/3)) scaling
+    # shows at the fine grids; the on-chip 16M run in RESULTS.md is the
+    # measurement of record)
+    assert evals < n // 3
+    assert evals < 40 * n ** (2.0 / 3.0)
+
+    reach_ad = np.fromfile(
+        os.path.join(data, "out_reachability.bin"), np.uint8
+    )
+    np.testing.assert_array_equal(reach_ad, reach_dense)
+
+    dist_ad = np.stack(
+        [np.fromfile(os.path.join(data, f"out_dist_x{ax}.bin"), np.float32)
+         for ax in "xyz"], -1,
+    )
+    # painted (cell-center) distances can differ from the dense value by
+    # at most the certified cell's diameter; exact-band points match the
+    # tolerance contract.  Norm check covers both regimes coarsely.
+    dn_a = np.linalg.norm(dist_ad, axis=1)
+    dn_d = np.linalg.norm(dist_dense, axis=1)
+    assert np.abs(dn_a - dn_d).max() < 200.0  # root box / 2^depth scale
+    assert np.median(np.abs(dn_a - dn_d)) < 25.0
+
+
+@pytest.mark.slow
 def test_map_feasibility(tmp_path):
     tmp = str(tmp_path)
     r = run_cli(tmp, "prepare", "--pix-size", "40", "--voxel", "800")

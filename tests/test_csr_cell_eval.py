@@ -128,6 +128,96 @@ def test_csr_cell_eval_matches_dense(shared, chunk_major, k):
         assert np.asarray(ew).sum() > 0
 
 
+@pytest.mark.parametrize(
+    "shared,chunk_major,chunk_masks",
+    (
+        # the r5 production layout: ALIGN-multiple window -> aligned
+        # chunk anchoring (fetch == window, no slack) + per-chunk role
+        # masks.  One default case; the per-leg production form and the
+        # legacy-mask A/B ride the slow marker.
+        (True, True, True),
+        pytest.param(False, False, True, marks=pytest.mark.slow),
+        pytest.param(True, True, False, marks=pytest.mark.slow),
+    ),
+)
+def test_csr_cell_eval_aligned_window_matches_dense(
+    shared, chunk_major, chunk_masks
+):
+    """window % _ALIGN == 0 switches to the r5 aligned chunk layout
+    (anchored starts, misalignment folded into the chunk count, exact
+    `window`-element fetches); flags must stay bit-identical to the
+    dense path, with multi-chunk slabs actually present."""
+    rng = np.random.default_rng(4)
+    robot = get_moonbot_robot()
+    reach = 711.0
+    k = 3
+    fh = rng.uniform(-1500, 1500, (12000, 3)).astype(np.float32)
+    fh[:, 2] = rng.uniform(-200, -100, 12000)
+    csr = build_csr_grid(fh, 400.0)
+
+    S = 3
+    rpy = rng.uniform(-0.3, 0.3, (S, 3)).astype(np.float32)
+    quats = np.array(
+        quat.from_rpy(rpy[:, 0], rpy[:, 1], rpy[:, 2]), np.float32
+    )
+    quats[0] = [1, 0, 0, 0]
+
+    C = 8
+    centers = rng.uniform(-1200, 1200, (C, 3)).astype(np.float32)
+    centers[:, 2] = rng.uniform(50, 150, C)
+    pv = rng.random(C) < 0.3
+    half = np.asarray([40.0, 40.0, 40.0], np.float32)
+    parent_half = np.asarray([80.0, 80.0, 80.0], np.float32)
+    margin = 16.0
+    elong = parent_half + np.float32(reach)
+
+    window = 1024
+    assert window % _ALIGN == 0  # the aligned layout under test
+    from legmov_tpu.ops.csr_cell_eval import fetch_width
+
+    w_fetch = fetch_width(window)
+    assert w_fetch == window
+    xs2, ys2, zs2, dead = pad_csr_soa(csr.xs, csr.ys, csr.zs, w_fetch)
+    maxch = slab_queue_host_max(
+        centers, elong, np.asarray(csr.starts), np.asarray(csr.origin),
+        csr.cell_size, csr.dims, window,
+    )
+    assert maxch > 3  # multi-chunk slabs present (else the draw is weak)
+    q_base = maxch if chunk_major else S * maxch
+    q_steps = 1 << (q_base - 1).bit_length()
+
+    ev = make_csr_cell_eval(
+        robot, k=k, n_quats=S, cells=C, q_steps=q_steps, shared=shared,
+        window=window, interpret=True, chunk_major=chunk_major,
+        chunk_masks=chunk_masks,
+    )
+    legtab = level_tables(
+        jnp.asarray(quats), jnp.asarray(half), jnp.asarray(parent_half),
+        robot, margin, reach,
+    )
+    rmounts, reach_l, r_cell = ball_mask_params(
+        jnp.asarray(quats), robot, half, margin
+    )
+    v, e, lf, over = ev(
+        jnp.asarray(centers), jnp.asarray(pv), legtab, jnp.asarray(elong),
+        rmounts, reach_l, r_cell,
+        xs2, ys2, zs2, csr.starts, csr.origin, cell_size=csr.cell_size,
+        dims=csr.dims, dead_elem=dead,
+    )
+    vw, ew, lw = _eval_cells(
+        jnp.asarray(centers), jnp.asarray(pv), jnp.asarray(half),
+        jnp.asarray(parent_half), jnp.asarray(fh), jnp.asarray(quats),
+        robot, k=k, margin=margin, reach=reach, chunk=500, use_rot=True,
+        shared=shared,
+    )
+    assert not bool(np.asarray(over))
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(vw))
+    np.testing.assert_array_equal(np.asarray(e), np.asarray(ew))
+    np.testing.assert_array_equal(np.asarray(lf), np.asarray(lw))
+    assert np.asarray(vw).sum() > 0
+    assert np.asarray(ew).sum() > 0
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("shared,chunk_major", ((True, True), (False, True)))
 def test_csr_cell_eval_hex_matches_dense(shared, chunk_major):

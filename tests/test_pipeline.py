@@ -127,3 +127,12 @@ def test_multirot_positionable_matches_bruteforce():
 
     np.testing.assert_array_equal(got, want)
     assert sum(per_round) == int(want.sum())
+
+    # the packed (orientation-batched) driver must agree too, in fewer
+    # rounds than orientations once stragglers batch up
+    from legmov_tpu.models.pipeline import multirot_positionable_packed
+
+    got_p, per_round_p = multirot_positionable_packed(solve_fn, body, ors)
+    np.testing.assert_array_equal(got_p, want)
+    assert sum(per_round_p) == int(want.sum())
+    assert len(per_round_p) <= len(per_round)

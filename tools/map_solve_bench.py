@@ -99,6 +99,9 @@ def main() -> None:
                     "0 = auto from column density)")
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--rot-serial", action="store_true",
+                    help="rot-sweep: the r2 one-orientation-per-round "
+                    "driver instead of the packed r5 default")
     ap.add_argument("--rot-sweep", action="store_true",
                     help="any-orientation feasibility over the 3x3x5 "
                     "orientation sweep (the reference multi_rot_estimator "
@@ -182,8 +185,11 @@ def main() -> None:
         )
 
         if args.rot_sweep:
-            from legmov_tpu.models.pipeline import (multirot_positionable,
-                                                    sweep_orientations)
+            from legmov_tpu.models.pipeline import (
+                multirot_positionable,
+                multirot_positionable_packed,
+                sweep_orientations,
+            )
 
             def solve_fn(b, q):
                 _, quorum, _ = csr_solver(
@@ -199,8 +205,10 @@ def main() -> None:
                 jnp.asarray(body_np),
                 jnp.asarray(np.tile(np.asarray(ors)[0], (n_chunk, 1))),
             ))
+            driver = (multirot_positionable if args.rot_serial
+                      else multirot_positionable_packed)
             t0 = time.perf_counter()
-            feasible, per_round = multirot_positionable(
+            feasible, per_round = driver(
                 solve_fn, body_np, ors
             )
             dt = time.perf_counter() - t0
@@ -214,6 +222,7 @@ def main() -> None:
                 "quorum": k,
                 "orientations": int(np.asarray(ors).shape[0]),
                 "rounds_used": len(per_round),
+                "driver": "serial" if args.rot_serial else "packed",
                 "feasible_any_orientation": int(feasible.sum()),
                 "newly_per_round_head": per_round[:5],
                 "sweep_s": round(dt, 3),
