@@ -851,6 +851,12 @@ def solve_positionability(
                     flush=True,
                 )
 
+        if profile:
+            print(
+                f"[hier] depth={depth} level done at "
+                f"+{_time.perf_counter() - _t_solve0:.2f}s",
+                flush=True,
+            )
         splittable = bool(np.any(child_half >= min_box))
         refine = edge & ~leaf_ok
         last_level = depth == cfg.max_depth or not splittable
@@ -873,6 +879,12 @@ def solve_positionability(
         parent_valid = valid[refine]
         half = child_half
 
+    if profile:
+        print(
+            f"[hier] solve loop done at "
+            f"+{_time.perf_counter() - _t_solve0:.2f}s",
+            flush=True,
+        )
     cs = np.concatenate([o[0] for o in out])
     hs = np.concatenate([o[1] for o in out])
     vs = np.concatenate([o[2] for o in out])

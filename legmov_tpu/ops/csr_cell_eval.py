@@ -868,6 +868,32 @@ def make_csr_cell_eval(
         tot = cum[:, -1:]  # [C, 1]
         totc = jnp.maximum(tot, 1)
 
+        def inter_bounds(r, m):
+            """[C, S, 3] per-axis bounds on any point lying in >= ``m``
+            of the L balls ``B(bc_l, r_l)`` at once.
+
+            If x is in >= m balls then per axis at least m intervals
+            [c_l - r_l, c_l + r_l] contain x_d, so x_d >= the m-th
+            smallest lower endpoint and x_d <= the m-th largest upper
+            endpoint.  Exact refutation: a chunk box disjoint from
+            these bounds on any axis cannot hold such a point."""
+            lo = jnp.sort(bc - r[None, None, :, None], axis=2)
+            hi = jnp.sort(bc + r[None, None, :, None], axis=2)
+            return lo[:, :, m - 1, :], hi[:, :, L - m, :]
+
+        if shared:
+            # shared-valid items need a candidate in >= k reach balls
+            # AT ONCE (several_leg_octree.cu:91-116) — the per-ball hit
+            # count can't see that; the order-statistics bounds can.
+            # Edge items analogously need > L-k crossing legs on ONE
+            # candidate (inflated radii) — only binding when k < L.
+            v_lo, v_hi = inter_bounds(reach_l + _BALL_EPS, k)
+            e_m = L - k + 1
+            e_lo, e_hi = (
+                inter_bounds(reach_l + r_cell, e_m) if e_m > 1
+                else (None, None)
+            )
+
         def ball_bits(slabc_k, within_k, live_k):
             """Per-CHUNK role bytes [C, K, S] (r5, ``chunk_masks``).
 
@@ -939,6 +965,21 @@ def make_csr_cell_eval(
             ebc = (
                 jnp.sum(inh.astype(jnp.int32), axis=-1) > (L - k)
             ).astype(jnp.int32)
+            if shared:
+                def box_meets(lo_b, hi_b):
+                    # [C, S, 3] bounds vs [C, K] chunk box -> [C, K, S]
+                    return (
+                        ((bxl + cs)[:, :, None] >= lo_b[:, None, :, 0])
+                        & (bxl[:, :, None] <= hi_b[:, None, :, 0])
+                        & (byh[:, :, None] >= lo_b[:, None, :, 1])
+                        & (byl[:, :, None] <= hi_b[:, None, :, 1])
+                        & (bzh[:, :, None] >= lo_b[:, None, :, 2])
+                        & (bzl[:, :, None] <= hi_b[:, None, :, 2])
+                    )
+
+                vbc = vbc * box_meets(v_lo, v_hi).astype(jnp.int32)
+                if e_lo is not None:
+                    ebc = ebc * box_meets(e_lo, e_hi).astype(jnp.int32)
             return (iflb | (vbc << 6) | (ebc << 7)) * live_k[:, :, None]
 
         t = jnp.arange(q_steps, dtype=jnp.int32)[None, :]  # [1, Q]

@@ -174,6 +174,89 @@ def build_csr_grid(footholds: np.ndarray, cell_size: float) -> CSRGrid:
     )
 
 
+def build_csr_grid_device(
+    z_lattice: np.ndarray,
+    xs_axis: np.ndarray,
+    ys_axis: np.ndarray,
+    cell_size: float,
+) -> CSRGrid:
+    """CSR grid assembled ON DEVICE from a lattice terrain (r5).
+
+    The map-scale setup cost is dominated by the relay upload of the
+    terrain SoA (65M points: 780 MB at ~3.5 MB/s through the relay,
+    ~225 s — RESULTS.md "End-to-end ops costs").  Lattice terrains
+    (every ``moon_ground``/``flat_grid`` map, and the reference's own
+    maps.py grids) carry no information in x/y beyond their axis
+    vectors, so this path uploads ONLY the height field plus the two
+    f32 axes (1/3 of the bytes) and rebuilds the cell-sorted SoA on
+    device: x/y regenerated by gathering the uploaded axis values
+    (bit-identical to the host lattice by construction — the axes ARE
+    the host's f32 values), cell ids in the same f32 op order as
+    :func:`build_csr_grid`, a stable device argsort (within-cell order
+    = lattice order, matching the host counting sort's stable input
+    order), and a bincount+cumsum for the offsets.
+
+    ``terrain[i] = (xs_axis[i // ny_lat], ys_axis[i % ny_lat],
+    z_lattice[i])`` — the row-major x-outer layout of
+    terrain/maps.py (np.meshgrid indexing="ij").
+    """
+    import jax
+
+    z = np.asarray(z_lattice, np.float32)
+    xa = np.asarray(xs_axis, np.float32)
+    ya = np.asarray(ys_axis, np.float32)
+    nx_lat, ny_lat = xa.shape[0], ya.shape[0]
+    if z.shape[0] != nx_lat * ny_lat:
+        raise ValueError("z_lattice length != nx * ny")
+    if z.shape[0] == 0:
+        return build_csr_grid(np.zeros((0, 3), np.float32), cell_size)
+    # origin/dims mirror build_csr_grid's f32 host arithmetic exactly
+    # (shapes must be static for the jit below)
+    origin = np.array(
+        [xa.min(), ya.min(), z.min()], np.float32
+    )
+    cs = np.float32(cell_size)
+    dims = (
+        int(np.floor((xa.max() - origin[0]) / cs)) + 1,
+        int(np.floor((ya.max() - origin[1]) / cs)) + 1,
+        int(np.floor((z.max() - origin[2]) / cs)) + 1,
+    )
+    nx, ny, nz = dims
+    ncell = nx * ny * nz
+
+    @partial(jax.jit, static_argnames=("nyl", "ncells", "nzc", "nyc"))
+    def assemble(zd, xad, yad, od, nyl: int, ncells: int, nzc: int,
+                 nyc: int):
+        n = zd.shape[0]
+        i = jnp.arange(n, dtype=jnp.int32)
+        x = xad[i // nyl]
+        y = yad[i % nyl]
+        cx = jnp.floor((x - od[0]) / cs).astype(jnp.int32)
+        cy = jnp.floor((y - od[1]) / cs).astype(jnp.int32)
+        cz = jnp.floor((zd - od[2]) / cs).astype(jnp.int32)
+        cell = (cx * nyc + cy) * nzc + cz
+        order = jnp.argsort(cell, stable=True)
+        counts = jnp.bincount(cell, length=ncells)
+        starts = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32),
+             jnp.cumsum(counts).astype(jnp.int32)]
+        )
+        return x[order], y[order], zd[order], starts
+
+    dev = jax.devices()[0]
+    zd = jax.device_put(z, dev)
+    xs, ys, zs, starts = assemble(
+        zd, jax.device_put(xa, dev), jax.device_put(ya, dev),
+        jax.device_put(origin, dev), nyl=ny_lat, ncells=ncell,
+        nzc=nz, nyc=ny,
+    )
+    return CSRGrid(
+        xs=xs, ys=ys, zs=zs, starts=starts,
+        origin=jnp.asarray(origin), cell_size=float(cell_size),
+        dims=dims,
+    )
+
+
 def ball_columns(offsets: np.ndarray) -> np.ndarray:
     """Decompose an offset ball into ``[C, 4]`` (dx, dy, dz_lo, dz_hi)
     columns, statically ordered nearest-first (horizontal distance, then

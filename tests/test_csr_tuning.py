@@ -96,3 +96,58 @@ def test_suggest_zclip_gates_on_occupancy_vs_window():
     assert suggest_zclip(deep, window=256)
     # the same deep grid with a window wider than its columns: clip off
     assert not suggest_zclip(deep, window=1024)
+
+
+def test_device_csr_build_matches_host():
+    """build_csr_grid_device (z-only upload + on-device assembly, r5)
+    must produce the same grid as the host build: identical dims and
+    offsets, identical per-cell point SETS (within-cell order may
+    differ from the native counting sort — the solvers' OR/count
+    semantics are order-independent), and identical solver results."""
+    import jax.numpy as jnp
+
+    from legmov_tpu.models.robot import QUAD_MOUNTS, make_robot
+    from legmov_tpu.ops.csr_grid import build_csr_grid_device, make_csr_solver
+    from legmov_tpu.ops.grid import cell_size_for
+    from legmov_tpu.terrain import moon_ground
+
+    t = moon_ground(shape=(128, 128)).astype(np.float32)
+    ny = 128
+    xa, ya = t[::ny, 0].copy(), t[:ny, 1].copy()
+    cell = 355.0
+    a = build_csr_grid(t, cell)
+    b = build_csr_grid_device(t[:, 2].copy(), xa, ya, cell)
+    assert a.dims == b.dims
+    np.testing.assert_array_equal(np.asarray(a.starts), np.asarray(b.starts))
+    s = np.asarray(a.starts)
+    ax = np.stack([np.asarray(a.xs), np.asarray(a.ys), np.asarray(a.zs)], -1)
+    bx = np.stack([np.asarray(b.xs), np.asarray(b.ys), np.asarray(b.zs)], -1)
+    for c in range(len(s) - 1):
+        assert (sorted(map(tuple, ax[s[c]:s[c + 1]]))
+                == sorted(map(tuple, bx[s[c]:s[c + 1]])))
+
+    robot = make_robot(QUAD_MOUNTS)
+    reach = cell_size_for(robot)
+    cols = jnp.asarray(ball_columns(neighbor_offsets(cell, reach)))
+    sv = make_csr_solver(robot, window=256, interpret=True,
+                         rounds=((4, 1.0), (0, 0.5)))
+    rng = np.random.default_rng(3)
+    P = 16
+    body = np.stack(
+        [rng.uniform(-1500, 1500, P), rng.uniform(-4000, 1000, P),
+         rng.uniform(-100, 200, P)], -1,
+    ).astype(np.float32)
+    quats = np.tile(np.asarray([1, 0, 0, 0], np.float32), (P, 1))
+
+    def run(g):
+        legs, quorum, over = sv(
+            jnp.asarray(body), jnp.asarray(quats), g.xs, g.ys, g.zs,
+            g.starts, g.origin, cols, cell_size=g.cell_size, k=3,
+            dims=g.dims,
+        )
+        return np.asarray(legs), np.asarray(quorum)
+
+    la, qa = run(a)
+    lb, qb = run(b)
+    np.testing.assert_array_equal(la, lb)
+    np.testing.assert_array_equal(qa, qb)

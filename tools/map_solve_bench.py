@@ -99,6 +99,9 @@ def main() -> None:
                     "0 = auto from column density)")
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--device-csr", action="store_true",
+                    help="assemble the CSR grid on device from a z-only "
+                    "upload (lattice terrains; ~1/3 the setup bytes)")
     ap.add_argument("--rot-serial", action="store_true",
                     help="rot-sweep: the r2 one-orientation-per-round "
                     "driver instead of the packed r5 default")
@@ -143,12 +146,29 @@ def main() -> None:
         )
 
         t0 = time.perf_counter()
-        csr = build_csr_grid(terrain, cell)
+        if args.device_csr:
+            # r5 setup reduction: lattice terrains upload only the
+            # height field + the two axis vectors (1/3 of the bytes);
+            # x/y regenerate on device and the cell sort + offsets run
+            # there too (build_csr_grid_device — exact vs the host
+            # build, tests/test_csr_tuning.py)
+            from legmov_tpu.ops.csr_grid import build_csr_grid_device
+
+            side = int(round(math.sqrt(terrain.shape[0])))
+            assert side * side == terrain.shape[0], "non-square lattice"
+            csr = build_csr_grid_device(
+                np.ascontiguousarray(terrain[:, 2]),
+                np.ascontiguousarray(terrain[::side, 0]),
+                np.ascontiguousarray(terrain[:side, 1]), cell,
+            )
+        else:
+            csr = build_csr_grid(terrain, cell)
         t_grid = time.perf_counter() - t0
         # one-time device upload of the CSR tables (12 B/point through the
         # relay — the dominant setup cost at 65M points); forced here with
         # a dependent scalar fetch so it is measured, not lazily folded
-        # into the first solve
+        # into the first solve.  In --device-csr mode this measures the
+        # z-only upload + on-device assembly instead.
         t0 = time.perf_counter()
         jax.block_until_ready((csr.xs, csr.ys, csr.zs, csr.starts))
         float(csr.xs[-1] + csr.ys[-1] + csr.zs[-1] + csr.starts[-1])
@@ -158,6 +178,7 @@ def main() -> None:
             csr_build_s=round(t_grid, 3),
             csr_upload_s=round(t_upload, 1),
             csr_device_mb=round(csr.xs.nbytes * 3 / 1e6, 1),
+            device_csr=bool(args.device_csr),
         )
         cols_np = ball_columns(np.asarray(offs))
         cols = jnp.asarray(cols_np)
