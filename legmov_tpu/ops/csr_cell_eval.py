@@ -167,6 +167,17 @@ def slab_queue_host_max(
     return int(tot.max()) + 1 if tot.size else 0
 
 
+@jax.jit
+def _rotated_mounts(quats, mount_vec):
+    """[S, L, 3] quat-rotated mount vectors (jitted: the eager vmap was
+    ~a hundred relay round-trips per rot level on the remote TPU)."""
+    from legmov_tpu.ops import quaternion as _quat
+
+    return jax.vmap(
+        lambda qq: jax.vmap(lambda m: _quat.rotate(qq, m))(mount_vec)
+    )(quats)
+
+
 def ball_mask_params(quats, robot: LegDimensions, half, margin: float):
     """Role-mask geometry for :func:`make_csr_cell_eval`'s ``eval``.
 
@@ -176,16 +187,12 @@ def ball_mask_params(quats, robot: LegDimensions, half, margin: float):
     mount), and the crossing inflation radius (cell circumradius under
     BOTH crossing branches: the sphere test ``dv2 < h2 + margin`` and
     the box test ``|dv| <= half + margin``) plus the fp32 slack."""
-    from legmov_tpu.ops import quaternion as _quat
     from legmov_tpu.ops.solve_schedule import robot_geometry
 
     mount_vec, reach_l = robot_geometry(robot)
-    q = jnp.asarray(quats)
-    rmounts = jax.vmap(
-        lambda qq: jax.vmap(lambda m: _quat.rotate(qq, m))(
-            jnp.asarray(mount_vec)
-        )
-    )(q)  # [S, L, 3]
+    rmounts = _rotated_mounts(
+        jnp.asarray(quats), jnp.asarray(mount_vec)
+    )  # [S, L, 3]
     h = np.asarray(half, np.float32)
     hm = h + np.float32(margin)
     h2m = float(np.sum(h * h) + np.float32(margin))
@@ -1195,10 +1202,19 @@ def level_tables(
     The leg workspace blocks depend only on the orientation — not the
     cell — so one row per quat serves every cell of the level; the
     kernel reads the cell position/parent-valid from its own SMEM
-    operand instead of the table's body/pv lanes (zeroed here)."""
+    operand instead of the table's body/pv lanes (zeroed here).
+
+    Jitted end-to-end (r5): the eager per-quat ``build_workspace``
+    trace was hundreds of tiny dispatches, ~75 s of pure relay latency
+    per rot level on the remote TPU (the instrumented depth-7 runs'
+    unaccounted tail)."""
     S = quats.shape[0]
-    return oriented_dist_tables(
+    return _oriented_tables_jit(
         jnp.zeros((S, 3), jnp.float32), jnp.asarray(quats),
         jnp.zeros((S,), bool), jnp.asarray(half),
-        jnp.asarray(parent_half), robot, margin, reach,
+        jnp.asarray(parent_half), robot,
+        jnp.float32(margin), jnp.float32(reach),
     )
+
+
+_oriented_tables_jit = jax.jit(oriented_dist_tables)

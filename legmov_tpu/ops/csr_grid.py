@@ -378,16 +378,22 @@ def suggest_rounds(
     return tuple(rounds)
 
 
-def _column_queue(cl_, rel_, legs_, scanned_, undecided, w32):
+def _column_queue(cl_, rel_, legs_, scanned_, undecided, w32, mis_=None):
     """Per-pose window queue over still-wanted columns.
 
     Returns ``(want [A, C], cum [A, C])`` where ``cum`` is the inclusive
     cumsum of per-column chunk counts (``ceil(len / window)`` for wanted
     columns, 0 otherwise) — chunk q of a pose's queue decodes to
     (column, offset-within-column) by searching ``cum``.
+
+    ``mis_`` (DMA solver, aligned layout): per-column start
+    misalignment to the DMA quantum; chunks then anchor on the quantum
+    grid (count ``ceil((len + mis) / window)``) so each fetch is
+    exactly ``window`` elements with zero alignment slack.
     """
     want = wanted(rel_, legs_, scanned_, undecided)
-    chunks = jnp.where(want, (cl_ + (w32 - 1)) // w32, 0)
+    off = 0 if mis_ is None else mis_
+    chunks = jnp.where(want, (cl_ + off + (w32 - 1)) // w32, 0)
     cum = jnp.cumsum(chunks, axis=1)
     return want, cum
 
@@ -612,11 +618,14 @@ def make_csr_dma_solver(
     W = table_width(L)
     legs_const = leg_constants(robot)
     mount_vec, reach_l = robot_geometry(robot)
-    # fetch width: the window rounded UP to the align quantum (the DMA
-    # slice SHAPE must respect the (8, 128) tiling too, so w_rows must
-    # be a multiple of 8) plus one extra quantum absorbing the
-    # align-down start shift
-    w_fetch = (-(-window // _ALIGN) + 1) * _ALIGN
+    # fetch width (the DMA slice SHAPE must respect the (8, 128)
+    # tiling, so w_rows is a multiple of 8): ALIGN-multiple windows use
+    # the r5 anchored layout — chunks start ON the quantum grid and
+    # each fetch is exactly `window` elements (the legacy layout's
+    # +1024 slack was pure extra kernel work: +12.5% at w8192, +50% at
+    # w2048).  Non-multiple windows keep the legacy widened fetch.
+    aligned = window % _ALIGN == 0
+    w_fetch = window if aligned else (-(-window // _ALIGN) + 1) * _ALIGN
     w_rows = w_fetch // _LANES  # scratch sublane rows (multiple of 8)
 
     def make_kernel(dead_row: int):
@@ -851,6 +860,15 @@ def make_csr_dma_solver(
             )
             within = q - prev
             st = jnp.take_along_axis(cs_, colc, 1)
+            if aligned:
+                # anchored layout: chunk 0 starts at the column start
+                # rounded DOWN to the quantum; every raw is then a
+                # quantum multiple and the align-down below is exact.
+                # The pre-column elements in chunk 0 are real footholds
+                # from neighboring CSR ranges — harmless by the same
+                # over-fetch argument as the legacy slack (any okp from
+                # a real foothold is a true reachability fact).
+                st = st - st % jnp.int32(_ALIGN)
             raw = st + within * w32
             live = q < cum[:, -1:]
             starts_mat = jnp.where(
@@ -889,7 +907,8 @@ def make_csr_dma_solver(
             else:
                 tab_, cs_, cl_ = per_pose
             want, cum = _column_queue(
-                cl_, rel_, legs_, scanned_, undecided, w32
+                cl_, rel_, legs_, scanned_, undecided, w32,
+                mis_=(cs_ % jnp.int32(_ALIGN)) if aligned else None,
             )
             need = need0 & want[:, :, None]
             legbits = jnp.sum(

@@ -105,7 +105,7 @@ def main() -> None:
         )
         legs_t, q_t = np.asarray(legs_t), np.asarray(q_t)
 
-        window = int(rng.choice([128, 256, 512]))
+        window = int(rng.choice([128, 256, 512, 1024]))
         rounds = (
             (int(rng.integers(1, 6)), 1.0),
             (int(rng.integers(4, 16)), float(rng.choice([0.5, 0.25]))),
