@@ -84,7 +84,50 @@ def cmd_evaluate(args) -> None:
     if n == 0:
         raise SystemExit("no dist_input_t{x,y,z}.bin found; run prepare first")
 
-    use_pallas = not args.no_pallas and jax.devices()[0].platform != "cpu"
+    backend = args.backend
+    if backend == "auto":
+        backend = "xla" if (
+            args.no_pallas or jax.devices()[0].platform == "cpu"
+        ) else "pallas"
+    if backend in ("oracle", "ik"):
+        # the reference main()'s ComputeMode switch (several_leg.cpp:
+        # 143-148: GPUMode / CPUMode / RBDLMode) — the CPU twin and the
+        # LM-IK baseline as product backends for end-to-end
+        # cross-checks on user data.  Both are host-side Python
+        # (~30-300 us/point); meant for audit runs, not throughput.
+        t0 = time.perf_counter()
+        pts = np.stack(comps, axis=-1)
+        if backend == "oracle":
+            from legmov_tpu.oracle.numpy_ref import (
+                oracle_distance,
+                oracle_reachability,
+            )
+
+            reach = oracle_reachability(pts, leg)
+            _, vec = oracle_distance(pts, leg)
+            vec_comps = (vec[:, 0], vec[:, 1], vec[:, 2])
+        else:
+            from legmov_tpu.oracle.ik_oracle import ik_reachability
+
+            # like the reference's RBDLMode, the LM-IK baseline
+            # produces reachability only
+            reach = ik_reachability(pts, leg)
+            vec_comps = None
+        dt = time.perf_counter() - t0
+        lio.save_bools(reach, os.path.join(args.dir, "out_reachability.bin"))
+        if vec_comps is not None:
+            for comp, ax in zip(vec_comps, "xyz"):
+                lio.save_array(
+                    comp, os.path.join(args.dir, f"out_dist_x{ax}.bin")
+                )
+        else:
+            print("ik backend: reachability only (no distance outputs), "
+                  "matching the reference's RBDLMode")
+        print(f"{backend}: {n} points in {dt:.2f} s "
+              f"({dt / n * 1e9:.0f} ns/point, host CPU)")
+        print(f"reachable fraction: {float(reach.mean()):.4f}")
+        return
+    use_pallas = backend == "pallas"
     if args.adaptive:
         # adaptive multi-resolution evaluation (the reference's
         # recursive_kernel/apply_recurs product path,
@@ -363,6 +406,13 @@ def main() -> None:
     p.add_argument("--leg", choices=LEGS, default="m2")
     p.add_argument("--no-pallas", action="store_true",
                    help="force the XLA path even on accelerator")
+    p.add_argument("--backend",
+                   choices=("auto", "pallas", "xla", "oracle", "ik"),
+                   default="auto",
+                   help="compute mode (several_leg.cpp:143-148 "
+                   "ComputeMode): auto = pallas on accelerator / xla on "
+                   "CPU; oracle = strict-fp32 scalar CPU twin; ik = "
+                   "LM-IK baseline (reachability only, like RBDLMode)")
     p.add_argument("--adaptive", action="store_true",
                    help="adaptive multi-resolution evaluation "
                    "(recursive_kernel equivalent): exact reachability "

@@ -101,6 +101,40 @@ def test_adaptive_evaluate_matches_dense(tmp_path):
 
 
 @pytest.mark.slow
+def test_evaluate_backend_switch(tmp_path):
+    """`evaluate --backend oracle|ik` (the reference main()'s
+    ComputeMode switch, several_leg.cpp:143-148): the CPU twin must
+    bit-match the default path; the LM-IK baseline is an independent
+    algorithm and only needs to land in the same fraction ballpark."""
+    tmp = str(tmp_path)
+    r = run_cli(tmp, "prepare", "--pix-size", "40")
+    assert r.returncode == 0, r.stderr
+    data = os.path.join(tmp, "data")
+
+    r = run_cli(tmp, "evaluate", "--leg", "moonbot")
+    assert r.returncode == 0, r.stderr
+    reach_default = np.fromfile(
+        os.path.join(data, "out_reachability.bin"), np.uint8
+    )
+
+    r = run_cli(tmp, "evaluate", "--leg", "moonbot", "--backend", "oracle")
+    assert r.returncode == 0, r.stderr
+    reach_oracle = np.fromfile(
+        os.path.join(data, "out_reachability.bin"), np.uint8
+    )
+    np.testing.assert_array_equal(reach_oracle, reach_default)
+
+    r = run_cli(tmp, "evaluate", "--leg", "moonbot", "--backend", "ik")
+    assert r.returncode == 0, r.stderr
+    assert "reachability only" in r.stdout
+    reach_ik = np.fromfile(
+        os.path.join(data, "out_reachability.bin"), np.uint8
+    )
+    agree = (reach_ik == reach_default).mean()
+    assert agree > 0.97  # independent iterative method, small band differs
+
+
+@pytest.mark.slow
 def test_map_feasibility(tmp_path):
     tmp = str(tmp_path)
     r = run_cli(tmp, "prepare", "--pix-size", "40", "--voxel", "800")
