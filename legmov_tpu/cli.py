@@ -273,6 +273,7 @@ def cmd_solve(args) -> None:
     t0 = time.perf_counter()
     res = solve_positionability(
         terrain, robot, cfg, shared_foothold=(args.mode == "shared"),
+        cell_batch=args.cell_batch,
         csr_window=args.csr_window, csr_cell_chunk=args.csr_cell_chunk,
     )
     dt = time.perf_counter() - t0
@@ -450,6 +451,10 @@ def main() -> None:
         help="shared = reference octree rule (k legs on one foothold); "
         "per-leg = each leg may use its own foothold",
     )
+    p.add_argument("--cell-batch", type=int, default=1024,
+                   help="cells per dispatch on identity (non-rot) levels; "
+                   "larger batches cut per-dispatch relay latency on deep "
+                   "identity levels at the cost of bigger compiles")
     p.add_argument("--csr-window", type=int, default=0,
                    help="CSR cell-evaluator candidate window (multiple "
                    "of 128; 0 = per-mode optimum: 2048 shared / 1024 "
