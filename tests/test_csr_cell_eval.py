@@ -219,6 +219,68 @@ def test_csr_cell_eval_aligned_window_matches_dense(
 
 
 @pytest.mark.slow
+def test_csr_cell_eval_audit_counters_flags_invariant():
+    """audit=True must return identical flags plus plausible counters
+    (chunks >= 1 evaluated, leg evals >= chunk-quat evals for k=L)."""
+    rng = np.random.default_rng(9)
+    robot = get_moonbot_robot()
+    reach = 711.0
+    fh = rng.uniform(-1500, 1500, (1200, 3)).astype(np.float32)
+    fh[:, 2] = rng.uniform(-200, -100, 1200)
+    csr = build_csr_grid(fh, 400.0)
+    S = 3
+    rpy = rng.uniform(-0.3, 0.3, (S, 3)).astype(np.float32)
+    quats = np.array(
+        quat.from_rpy(rpy[:, 0], rpy[:, 1], rpy[:, 2]), np.float32
+    )
+    C = 8
+    centers = rng.uniform(-1200, 1200, (C, 3)).astype(np.float32)
+    centers[:, 2] = rng.uniform(50, 150, C)
+    pv = np.zeros(C, bool)
+    half = np.asarray([40.0, 40.0, 40.0], np.float32)
+    parent_half = np.asarray([80.0, 80.0, 80.0], np.float32)
+    margin, k = 16.0, 3
+    elong = parent_half + np.float32(reach)
+    window = 256
+    w_fetch = (-(-window // _ALIGN) + 1) * _ALIGN
+    xs2, ys2, zs2, dead = pad_csr_soa(csr.xs, csr.ys, csr.zs, w_fetch)
+    maxch = slab_queue_host_max(
+        centers, elong, np.asarray(csr.starts), np.asarray(csr.origin),
+        csr.cell_size, csr.dims, window,
+    )
+    q_steps = 1 << (maxch - 1).bit_length()
+    legtab = level_tables(
+        jnp.asarray(quats), jnp.asarray(half), jnp.asarray(parent_half),
+        robot, margin, reach,
+    )
+    rmounts, reach_l, r_cell = ball_mask_params(
+        jnp.asarray(quats), robot, half, margin
+    )
+
+    def run(audit):
+        ev = make_csr_cell_eval(
+            robot, k=k, n_quats=S, cells=C, q_steps=q_steps, shared=True,
+            window=window, interpret=True, audit=audit,
+        )
+        return ev(
+            jnp.asarray(centers), jnp.asarray(pv), legtab,
+            jnp.asarray(elong), rmounts, reach_l, r_cell,
+            xs2, ys2, zs2, csr.starts, csr.origin,
+            cell_size=csr.cell_size, dims=csr.dims, dead_elem=dead,
+        )
+
+    v0, e0, l0, _ = run(False)
+    v1, e1, l1, _, counts = run(True)
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+    np.testing.assert_array_equal(np.asarray(e0), np.asarray(e1))
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+    c = np.asarray(counts)
+    assert c.shape == (C, 3)
+    assert c.sum(axis=0)[0] > 0  # chunks were evaluated
+    assert c.sum(axis=0)[2] >= c.sum(axis=0)[1]  # >=1 leg per item
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("shared,chunk_major", ((True, True), (False, True)))
 def test_csr_cell_eval_hex_matches_dense(shared, chunk_major):
     """L = 6 (hexapod): the maximum leg-bit packing regime — 6 infl
