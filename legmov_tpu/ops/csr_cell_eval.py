@@ -587,8 +587,23 @@ def make_csr_cell_eval(
                         cc_ref[_row] = jnp.zeros(
                             (w_rows, _LANES), jnp.float32
                         )
+                        # leg-chain early exit (r5, exact): once edge is
+                        # settled a chunk is scanned for VALID/LEAF only,
+                        # so legs after l are pointless unless some
+                        # candidate can still reach k with every unmasked
+                        # leg left (anyb(rc >= k - popcount(m >> l+1))).
+                        # A partially chained chunk contributes nothing:
+                        # rc is understated so iv is false everywhere (pv
+                        # rows never chain — their leaf flag needs full
+                        # crossing counts), and acc[1] is already set in
+                        # this mode.  Edge-seeking chunks never chain.
+                        chain_off = (acc_ref[_row, 1] ^ 1) | pv_i
+                        viable = jnp.int32(1)
                         for l, leg_fn in enumerate(leg_evals):
-                            @pl.when(((m >> l) & 1) != 0)
+                            @pl.when(
+                                (((m >> l) & 1) != 0)
+                                & ((chain_off | viable) != 0)
+                            )
                             def _leg(l=l, leg_fn=leg_fn):
                                 okp, crossed = leg_fn(
                                     sH, pre, vx_, vy_, vz_
@@ -603,6 +618,14 @@ def make_csr_cell_eval(
                                 cc_ref[_row] = cc_ref[_row] + (
                                     crossed.astype(jnp.float32)
                                 )
+                            if l < L - 1:
+                                rem = jnp.int32(0)
+                                for j in range(l + 1, L):
+                                    rem = rem + ((m >> j) & 1)
+                                viable = (
+                                    jnp.max(rc_ref[_row])
+                                    >= kf - rem.astype(jnp.float32)
+                                ).astype(jnp.int32)
                         rc = rc_ref[_row]
                         cc = cc_ref[_row]
                         iv = ((rc >= kf) | pv) & pre
